@@ -1,0 +1,190 @@
+"""Material parameter models (GeoParams-equivalent), phase-stacked for JAX.
+
+The reference delegates material properties (density EOS, heat capacity,
+conductivity, elastic moduli, creep laws, plasticity) to GeoParams.jl with
+compile-time dispatch per phase (see SURVEY.md §2.4). The TPU-native design
+replaces dispatch with *fixed-arity vectorization*: a :class:`MaterialStack`
+holds every parameter as a ``(nphase,)`` array, properties are evaluated for
+all phases at once, and multi-phase cells combine them with phase-ratio
+weighted sums — the vectorized analogue of the reference's ``fn_ratio``
+(/root/reference/src/phases/phases.jl:1-30).
+
+Supported parameterizations (unused parameters take neutral defaults):
+- density:       ρ = ρ0 · (1 − α (T − T0) + β (P − P0))     [PT_Density]
+- heat capacity: Cp constant
+- conductivity:  k constant
+- radioactivity: H_r constant (W/m³)
+- elasticity:    shear modulus G, bulk modulus K (∞ → incompressible/rigid)
+- viscous creep: linear viscosity η0, or power-law (dislocation) creep with
+  prefactor A, stress exponent n, activation energy E (see viscosity.py)
+- plasticity:    Drucker-Prager C, friction φ, dilation ψ (see plasticity.py)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+Array = Any
+
+__all__ = [
+    "Material",
+    "MaterialStack",
+    "phase_average",
+    "compute_density",
+    "compute_rhoCp",
+    "compute_conductivity",
+    "compute_radioactive_heating",
+    "get_shear_modulus",
+    "get_bulk_modulus",
+]
+
+_INF = float("inf")
+
+
+@struct.dataclass
+class Material:
+    """Single-phase material parameters (all scalars, traced leaves)."""
+
+    # density EOS
+    rho0: Array = 0.0
+    alpha: Array = 0.0  # thermal expansivity
+    beta: Array = 0.0  # compressibility
+    T0: Array = 0.0
+    P0: Array = 0.0
+    # thermal
+    Cp: Array = 0.0
+    k: Array = 0.0
+    H_r: Array = 0.0  # radiogenic heating [W/m³]
+    # elasticity
+    G: Array = _INF
+    Kb: Array = _INF
+    # linear viscous creep
+    eta0: Array = 1.0
+    # power-law (dislocation) creep:  η_eff = A^(-1/n) εII^(1/n - 1) exp(E/(nRT))
+    disl_A: Array = 0.0  # 0 disables
+    disl_n: Array = 1.0
+    disl_E: Array = 0.0
+    # diffusion creep
+    diff_A: Array = 0.0  # 0 disables
+    diff_E: Array = 0.0
+    # Drucker-Prager plasticity
+    C: Array = _INF  # cohesion (∞ disables yielding)
+    friction_angle: Array = 0.0  # φ [degrees]
+    dilation_angle: Array = 0.0  # ψ [degrees]
+    eta_reg: Array = 0.0  # Kelvin viscoplastic regularization
+    # linear softening of (C, φ) with accumulated plastic strain
+    soft_C_slope: Array = 0.0
+    soft_C_min: Array = 0.0
+    soft_phi_slope: Array = 0.0
+    soft_phi_min: Array = 0.0
+    # gravity (magnitude, applied along the last axis, pointing "down")
+    gravity: Array = 0.0
+
+
+@struct.dataclass
+class MaterialStack:
+    """``nphase`` materials stacked: every field has shape ``(nphase,)``."""
+
+    params: Material
+
+    @classmethod
+    def make(cls, materials: Sequence[Material]) -> "MaterialStack":
+        fields = {}
+        names = [f.name for f in Material.__dataclass_fields__.values()]
+        for name in names:
+            fields[name] = jnp.stack(
+                [jnp.asarray(getattr(m, name), dtype=jnp.result_type(float)) for m in materials]
+            )
+        return cls(params=Material(**fields))
+
+    @property
+    def nphase(self) -> int:
+        return int(np.shape(self.params.rho0)[0])
+
+
+def _as_stack(material) -> MaterialStack:
+    if isinstance(material, MaterialStack):
+        return material
+    if isinstance(material, Material):
+        return MaterialStack.make([material])
+    if isinstance(material, (list, tuple)):
+        return MaterialStack.make(list(material))
+    raise TypeError(f"cannot interpret {material!r} as MaterialStack")
+
+
+def phase_average(values: Array, phase_ratios: Optional[Array]) -> Array:
+    """Phase-ratio weighted sum (vectorized ``fn_ratio``).
+
+    ``values`` has shape ``(..., nphase)`` or ``(nphase,)``; ``phase_ratios``
+    has shape ``(*grid, nphase)`` (or ``None`` for single-phase: returns the
+    phase-0 values).
+    """
+    if phase_ratios is None:
+        return values[..., 0]
+    return jnp.sum(values * phase_ratios, axis=-1)
+
+
+def _bcast(param: Array, T: Optional[Array]) -> Array:
+    """Broadcast (nphase,) params against a (*grid,) field → (*grid, nphase)."""
+    if T is None:
+        return param
+    return param.reshape((1,) * T.ndim + (-1,))
+
+
+def compute_density(material, T=None, P=None, phase_ratios=None) -> Array:
+    """ρ(T, P) per cell (reference: GeoParams PT_Density)."""
+    m = _as_stack(material).params
+    ref = T if T is not None else P
+    rho0 = _bcast(m.rho0, ref)
+    rho = rho0
+    if T is not None:
+        rho = rho * (1.0 - _bcast(m.alpha, ref) * (T[..., None] - _bcast(m.T0, ref)))
+    if P is not None:
+        beta = _bcast(m.beta, ref)
+        rho = rho + rho0 * beta * (P[..., None] - _bcast(m.P0, ref))
+    return phase_average(rho, phase_ratios)
+
+
+def compute_rhoCp(material, T=None, P=None, phase_ratios=None) -> Array:
+    """ρ(T,P)·Cp per cell, phase-weighted on the product (not the factors)."""
+    ref = T if T is not None else P
+    stack = _as_stack(material).params
+    rho0 = _bcast(stack.rho0, ref)
+    rho_p = rho0
+    if T is not None:
+        rho_p = rho_p * (1.0 - _bcast(stack.alpha, ref) * (T[..., None] - _bcast(stack.T0, ref)))
+    if P is not None:
+        rho_p = rho_p + rho0 * _bcast(stack.beta, ref) * (P[..., None] - _bcast(stack.P0, ref))
+    rhoCp = rho_p * _bcast(stack.Cp, ref)
+    return phase_average(rhoCp, phase_ratios)
+
+
+def compute_conductivity(material, T=None, P=None, phase_ratios=None) -> Array:
+    m = _as_stack(material).params
+    k = _bcast(m.k, T if T is not None else P)
+    out = phase_average(k, phase_ratios)
+    if phase_ratios is None and T is not None:
+        out = jnp.broadcast_to(out, T.shape)
+    return out
+
+
+def compute_radioactive_heating(material, phase_ratios=None) -> Array:
+    m = _as_stack(material).params
+    return phase_average(m.H_r, phase_ratios)
+
+
+def get_shear_modulus(material, phase_ratios=None) -> Array:
+    m = _as_stack(material).params
+    # NaN/0 → ∞ per reference shim (src/rheology/GeoParams.jl:1-20)
+    G = jnp.where((m.G == 0) | jnp.isnan(m.G), _INF, m.G)
+    return phase_average(G, phase_ratios)
+
+
+def get_bulk_modulus(material, phase_ratios=None) -> Array:
+    m = _as_stack(material).params
+    Kb = jnp.where((m.Kb == 0) | jnp.isnan(m.Kb), _INF, m.Kb)
+    return phase_average(Kb, phase_ratios)
