@@ -1,0 +1,203 @@
+"""Stokes stencil kernels (2D): divergence, strain rate, pressure, stress,
+velocity update, residuals.
+
+Vectorized equivalents of the reference sweeps
+(/root/reference/src/stokes/VelocityKernels.jl, PressureKernels.jl,
+StressKernels.jl). All functions are pure array→array; shapes follow the
+staggered layout documented in core/state.py. 3D twins live in stokes3d.py.
+
+The damped PT updates (Räss et al. 2022):
+  P  ← P + ψ·RP/(1+ψ/(K dt)),  ψ = (1/η + 1/(G dt))⁻¹ · r/θ_dτ
+  τ  ← τ + (2η ε − (τ−τ_o)·η/(G dt) − τ) / (θ_dτ + η/(G dt) + 1)
+  V  ← V + (∇·τ − ∇P − ρg) · ηdτ / ητ̄
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+from justrelax_tpu.ops.stencil import av_a
+
+Array = Any
+
+__all__ = [
+    "compute_grad_V",
+    "compute_strain_rate",
+    "compute_P",
+    "compute_tau_visc",
+    "compute_tau_ve",
+    "compute_V",
+    "compute_Res",
+    "tensor_invariant_2d",
+    "compute_vorticity",
+]
+
+
+# --- divergence -------------------------------------------------------------
+def compute_grad_V(Vx, Vy, inv_dx, inv_dy):
+    """∇·V at cell centers (VelocityKernels.jl:3-6)."""
+    return (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx + (
+        Vy[1:-1, 1:] - Vy[1:-1, :-1]
+    ) * inv_dy
+
+
+# --- deviatoric strain rate -------------------------------------------------
+def compute_strain_rate(grad_V, Vx, Vy, inv_dx, inv_dy):
+    """(εxx, εyy) at centers, εxy at vertices (VelocityKernels.jl:10-44)."""
+    third = 1.0 / 3.0
+    exx = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx - grad_V * third
+    eyy = (Vy[1:-1, 1:] - Vy[1:-1, :-1]) * inv_dy - grad_V * third
+    exy = 0.5 * (
+        (Vx[:, 1:] - Vx[:, :-1]) * inv_dy + (Vy[1:, :] - Vy[:-1, :]) * inv_dx
+    )
+    return exx, eyy, exy
+
+
+# --- pressure ---------------------------------------------------------------
+def compute_P(P, P0, grad_V, Q, eta, K, G, dt, r, theta_dtau):
+    """Compressible visco-elastic pressure update (PressureKernels.jl:186-195).
+
+    ``K``/``G`` may be ∞ (incompressible / purely viscous). Returns (RP, P).
+    """
+    _Kdt = 1.0 / (K * dt)
+    _Gdt = 1.0 / (G * dt)
+    _dt = 1.0 / dt
+    RP = -(P - P0) * _Kdt + (-grad_V + Q * _dt)
+    psi = 1.0 / (1.0 / eta + _Gdt) * (r / theta_dtau)
+    P_new = ((P0 * _Kdt + (-grad_V + Q * _dt)) * psi + P) / (1.0 + _Kdt * psi)
+    return RP, P_new
+
+
+# --- deviatoric stress ------------------------------------------------------
+def _dtau_r(theta_dtau, eta, _Gdt):
+    return 1.0 / (theta_dtau + eta * _Gdt + 1.0)
+
+
+def _stress_increment(tau, tau_o, eta, eps, _Gdt, dtau_r):
+    """dτ = dτ_r · (2η ε − (τ−τ_o)·η/(G dt) − τ)  (StressKernels.jl:2-16)."""
+    return dtau_r * (2.0 * eta * eps - (tau - tau_o) * eta * _Gdt - tau)
+
+
+def compute_tau_visc(txx, tyy, txy, exx, eyy, exy, eta, theta_dtau):
+    """Purely viscous PT stress update (StressKernels.jl:34-61)."""
+    inf = jnp.inf
+    return compute_tau_ve(
+        txx,
+        tyy,
+        txy,
+        jnp.zeros_like(txx),
+        jnp.zeros_like(tyy),
+        jnp.zeros_like(txy),
+        exx,
+        eyy,
+        exy,
+        eta,
+        jnp.full_like(eta, inf),
+        theta_dtau,
+        1.0,
+    )
+
+
+def compute_tau_ve(txx, tyy, txy, txx_o, tyy_o, txy_o, exx, eyy, exy, eta, G, theta_dtau, dt):
+    """Visco-elastic PT stress update: normal components at centers, shear at
+    interior vertices (StressKernels.jl:65-95). Boundary vertices of τxy are
+    left untouched (free-slip keeps them zero)."""
+    _Gdt = 1.0 / (G * dt)
+    dtau_r = _dtau_r(theta_dtau, eta, _Gdt)
+    txx = txx + _stress_increment(txx, txx_o, eta, exx, _Gdt, dtau_r)
+    tyy = tyy + _stress_increment(tyy, tyy_o, eta, eyy, _Gdt, dtau_r)
+
+    eta_v = av_a(eta)  # interior vertices (nx-1, ny-1)
+    _Gdt_v = 1.0 / (av_a(G) * dt)
+    dtau_r_v = _dtau_r(theta_dtau, eta_v, _Gdt_v)
+    inc = _stress_increment(
+        txy[1:-1, 1:-1], txy_o[1:-1, 1:-1], eta_v, exy[1:-1, 1:-1], _Gdt_v, dtau_r_v
+    )
+    txy = txy.at[1:-1, 1:-1].add(inc)
+    return txx, tyy, txy
+
+
+# --- velocity update --------------------------------------------------------
+def _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy):
+    """∂x momentum balance on interior Vx nodes → shape (nx-1, ny)."""
+    d_xa_t = (txx[1:, :] - txx[:-1, :]) * inv_dx
+    d_yi_t = (txy[1:-1, 1:] - txy[1:-1, :-1]) * inv_dy
+    d_xa_P = (P[1:, :] - P[:-1, :]) * inv_dx
+    f = 0.5 * (rho_gx[1:, :] + rho_gx[:-1, :])
+    return d_xa_t + d_yi_t - d_xa_P - f
+
+
+def _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy):
+    """∂y momentum balance on interior Vy nodes → shape (nx, ny-1)."""
+    d_ya_t = (tyy[:, 1:] - tyy[:, :-1]) * inv_dy
+    d_xi_t = (txy[1:, 1:-1] - txy[:-1, 1:-1]) * inv_dx
+    d_ya_P = (P[:, 1:] - P[:, :-1]) * inv_dy
+    f = 0.5 * (rho_gy[:, 1:] + rho_gy[:, :-1])
+    return d_ya_t + d_xi_t - d_ya_P - f
+
+
+def compute_V(
+    Vx,
+    Vy,
+    P,
+    txx,
+    tyy,
+    txy,
+    etadtau,
+    rho_gx,
+    rho_gy,
+    eta_tau,
+    inv_dx,
+    inv_dy,
+    free_surface_dt: Optional[float] = None,
+):
+    """Damped velocity update on interior nodes (VelocityKernels.jl:108-180).
+
+    With ``free_surface_dt`` set, adds the free-surface stabilization
+    correction Vy·∂(ρg_y)/∂y·dt to the y-momentum residual.
+    """
+    rx = _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy)
+    ry = _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy)
+    if free_surface_dt is not None:
+        ry = ry + _free_surface_correction(Vy, rho_gy, inv_dy, free_surface_dt)
+    etax = 0.5 * (eta_tau[1:, :] + eta_tau[:-1, :])
+    etay = 0.5 * (eta_tau[:, 1:] + eta_tau[:, :-1])
+    Vx = Vx.at[1:-1, 1:-1].add(rx * etadtau / etax)
+    Vy = Vy.at[1:-1, 1:-1].add(ry * etadtau / etay)
+    return Vx, Vy
+
+
+def _free_surface_correction(Vy, rho_gy, inv_dy, dt):
+    """Vy·∂(ρg)/∂y·θ·dt on interior Vy nodes (VelocityKernels.jl:158-173)."""
+    # interior Vy values: Vy[1:-1, 1:-1] → (nx, ny-1)
+    Vy_in = Vy[1:-1, 1:-1]
+    # ∂ρg/∂y at the Vy node: (ρg[i, min(j+1, ny)] − ρg[i, j]) / dy, j = 0..ny-2
+    drho = (rho_gy[:, 1:] - rho_gy[:, :-1]) * inv_dy
+    return Vy_in * drho * dt
+
+
+def compute_Res(P, txx, tyy, txy, rho_gx, rho_gy, inv_dx, inv_dy, Vy=None, free_surface_dt=None):
+    """Momentum residuals Rx (nx-1, ny), Ry (nx, ny-1) (VelocityKernels.jl:246+)."""
+    Rx = _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy)
+    Ry = _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy)
+    if free_surface_dt is not None:
+        Ry = Ry + _free_surface_correction(Vy, rho_gy, inv_dy, free_surface_dt)
+    return Rx, Ry
+
+
+# --- diagnostics ------------------------------------------------------------
+def tensor_invariant_2d(xx, yy, xy_c):
+    """Second invariant at centers: √(½(xx²+yy²+zz²) + xy²) with zz=−xx−yy
+    (StressKernels.jl tensor_invariant!)."""
+    zz = -xx - yy
+    return jnp.sqrt(0.5 * (xx**2 + yy**2 + zz**2) + xy_c**2)
+
+
+def compute_vorticity(Vx, Vy, inv_dx, inv_dy):
+    """ω_xy = ½(∂Vx/∂y − ∂Vy/∂x) at vertices
+    (stress_rotation_particles.jl:5-20)."""
+    return 0.5 * (
+        (Vx[:, 1:] - Vx[:, :-1]) * inv_dy - (Vy[1:, :] - Vy[:-1, :]) * inv_dx
+    )
