@@ -1,0 +1,79 @@
+"""Benchmark: effective memory throughput of the APT Stokes PT iteration.
+
+The APT method is memory-bandwidth bound (Räss et al. 2022 GMD; reference
+docs/src/man/equations_APT.md:38): the per-chip figure of merit is T_eff —
+the necessary memory traffic of one fused PT iteration divided by its wall
+time — against the HBM speed-of-light, plus grid-updates/s.
+
+Traffic accounting (Räss convention, f32):
+  unknowns (read+write): Vx, Vy, P, τxx, τyy, τxy            → 12·N
+  fields   (read only) : η, ητ, G, K, P0, Q, ρgx, ρgy, τ_o×3 → 11·N
+  A_eff = 23·N·4 bytes per iteration.
+
+Prints ONE JSON line; vs_baseline = T_eff / HBM peak (v5e: 819 GB/s).
+Runs on the real TPU through the default environment (JAX_PLATFORMS=axon).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(nx=1024, ny=1024, nout=100, repeats=5):
+    import __graft_entry__ as g
+
+    dtype = jnp.float32
+    geometry, stokes, pt, bc, rho_g, G, K = g._solcx_setup(nx, ny, dtype)
+    step = g._step_fn(geometry, pt, bc, nout=nout)
+    args = (
+        stokes.V.Vx,
+        stokes.V.Vy,
+        stokes.P,
+        stokes.tau.xx,
+        stokes.tau.yy,
+        stokes.tau.xy,
+        stokes.P0,
+        stokes.Q,
+        stokes.viscosity.eta,
+        G,
+        K,
+        rho_g[0],
+        rho_g[1],
+        jnp.asarray(0.1, dtype),
+    )
+    jitted = jax.jit(step)
+    out = jitted(*args)
+    jax.block_until_ready(out)  # compile + warmup
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jitted(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+
+    n_cells = nx * ny
+    t_iter = best / nout
+    gups = n_cells / t_iter / 1e9  # giga grid-updates/s
+    a_eff = 23 * n_cells * 4  # bytes per iteration
+    t_eff = a_eff / t_iter / 1e9  # GB/s
+    hbm_peak = 819.0  # v5e HBM GB/s
+    print(
+        json.dumps(
+            {
+                "metric": "stokes2d_pt_iteration_T_eff",
+                "value": round(t_eff, 2),
+                "unit": "GB/s",
+                "vs_baseline": round(t_eff / hbm_peak, 4),
+            }
+        )
+    )
+    return t_eff, gups
+
+
+if __name__ == "__main__":
+    main()
