@@ -1,0 +1,112 @@
+"""2D visco-elasto-plastic shear band benchmark
+(reference miniapps/benchmarks/stokes2D/shear_band + test_shearband2D.jl).
+
+Unit box under pure shear (ε̇bg = 1) with a weak circular inclusion (softer
+shear modulus) and regularized Drucker-Prager plasticity
+(C = 1.6/cos30°, φ=30°, ψ=0, η_vp=8e-3) on a Maxwell VE background
+(η0 = G0 = 1, Kb = 4, dt = Maxwell time / 4). 10 timesteps.
+
+Golden values (test_shearband2D.jl:197-201):
+  extrema(τII) ≈ (1.4979764502419675, 1.6448491195234836)  atol 1e-3
+  max(τxx) at last step ≈ 1.6392450041641278               atol 1e-4
+  analytic unyielded VE curve 2εη(1−e^{−Gt/η}) = 1.8358    atol 1e-4
+  final residual < 1e-6
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from justrelax_tpu.core.coeffs import PTStokesCoeffs
+from justrelax_tpu.core.grid import Geometry
+from justrelax_tpu.core.state import StokesState
+from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions, flow_bcs
+from justrelax_tpu.ops.stokes import tensor_invariant_staggered_2d
+from justrelax_tpu.rheology.materials import Material, MaterialStack
+from justrelax_tpu.solvers.stokes2d_vep import solve_vep
+
+
+def _circle_phase_ratios(xs, ys, origin, radius):
+    """One-hot (…, 2) phase ratios: phase 0 outside the circle, 1 inside."""
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    inside = (X - origin[0]) ** 2 + (Y - origin[1]) ** 2 <= radius**2
+    ratios = np.zeros(X.shape + (2,))
+    ratios[..., 0] = ~inside
+    ratios[..., 1] = inside
+    return ratios
+
+
+def run(n=32, nt=10, eps_bg=1.0, dtype=None):
+    ni = (n, n)
+    geometry = Geometry(ni, (1.0, 1.0))
+    xci, xvi = geometry.xci, geometry.xvi
+
+    tau_y = 1.6
+    phi = 30.0
+    eta0, G0 = 1.0, 1.0
+    Gi = G0 / (6.0 - 4.0)
+    eta_reg = 8.0e-3
+    dt = eta0 / G0 / 4.0
+    C = tau_y / math.cos(math.radians(phi))
+
+    common = dict(
+        rho0=0.0,
+        Kb=4.0,
+        eta0=eta0,
+        is_plastic=1.0,
+        C=C,
+        friction_angle=phi,
+        dilation_angle=0.0,
+        eta_reg=eta_reg,
+    )
+    material = MaterialStack.make(
+        [Material(G=G0, **common), Material(G=Gi, **common)]
+    )
+
+    radius = 0.1
+    pr_center = jnp.asarray(_circle_phase_ratios(xci[0], xci[1], (0.5, 0.5), radius))
+    pr_vertex = jnp.asarray(_circle_phase_ratios(xvi[0], xvi[1], (0.5, 0.5), radius))
+
+    stokes = StokesState.make(ni, dtype=dtype)
+    dt_f = stokes.P.dtype
+    pt_stokes = PTStokesCoeffs.make(
+        geometry.li, geometry.di, eps_rel=1.0e-6, CFL=0.75 / math.sqrt(2.1)
+    )
+
+    # initial pure-shear velocity on the FULL arrays (test_shearband2D.jl:146-147)
+    xv = jnp.asarray(xvi[0], dt_f)
+    yv = jnp.asarray(xvi[1], dt_f)
+    Vx = jnp.broadcast_to((eps_bg * xv)[:, None], (n + 1, n + 2))
+    Vy = jnp.broadcast_to((-eps_bg * yv)[None, :], (n + 2, n + 1))
+    flow_bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
+    stokes = stokes.replace(V=stokes.V.replace(Vx=Vx, Vy=Vy))
+
+    t = 0.0
+    tau_max_hist, sol_hist, tt = [], [], []
+    info = None
+    for _ in range(nt):
+        stokes, info = solve_vep(
+            stokes,
+            pt_stokes,
+            geometry,
+            flow_bc,
+            material,
+            pr_center,
+            pr_vertex,
+            dt,
+            iter_max=50_000,
+            nout=100,
+        )
+        tau_max_hist.append(float(stokes.tau.xx.max()))
+        t += dt
+        sol_hist.append(2.0 * eps_bg * eta0 * (1.0 - math.exp(-G0 * t / eta0)))
+        tt.append(t)
+
+    tau_II = tensor_invariant_staggered_2d(stokes.tau.xx, stokes.tau.yy, stokes.tau.xy)
+    return stokes, info, tau_max_hist, sol_hist, tau_II

@@ -189,10 +189,19 @@ def compute_Res(P, txx, tyy, txy, rho_gx, rho_gy, inv_dx, inv_dy, Vy=None, free_
 
 # --- diagnostics ------------------------------------------------------------
 def tensor_invariant_2d(xx, yy, xy_c):
-    """Second invariant at centers: √(½(xx²+yy²+zz²) + xy²) with zz=−xx−yy
-    (StressKernels.jl tensor_invariant!)."""
-    zz = -xx - yy
-    return jnp.sqrt(0.5 * (xx**2 + yy**2 + zz**2) + xy_c**2)
+    """Second invariant at centers (GeoParams convention):
+    √(½(xx²+yy²) + xy²)."""
+    return jnp.sqrt(0.5 * (xx**2 + yy**2) + xy_c**2)
+
+
+def tensor_invariant_staggered_2d(xx, yy, xy_v):
+    """Staggered second invariant at centers: shear term is the mean of the
+    squared 4 surrounding vertex values (reference tensor_invariant!,
+    StressKernels.jl:465-476)."""
+    xy2 = 0.25 * (
+        xy_v[:-1, :-1] ** 2 + xy_v[1:, :-1] ** 2 + xy_v[:-1, 1:] ** 2 + xy_v[1:, 1:] ** 2
+    )
+    return jnp.sqrt(0.5 * (xx**2 + yy**2) + xy2)
 
 
 def compute_vorticity(Vx, Vy, inv_dx, inv_dy):

@@ -71,16 +71,19 @@ class Material:
     # diffusion creep
     diff_A: Array = 0.0  # 0 disables
     diff_E: Array = 0.0
-    # Drucker-Prager plasticity
-    C: Array = _INF  # cohesion (∞ disables yielding)
+    # Drucker-Prager plasticity (is_plastic=1 enables yielding for the phase)
+    is_plastic: Array = 0.0
+    C: Array = 0.0  # cohesion
     friction_angle: Array = 0.0  # φ [degrees]
     dilation_angle: Array = 0.0  # ψ [degrees]
-    eta_reg: Array = 0.0  # Kelvin viscoplastic regularization
-    # linear softening of (C, φ) with accumulated plastic strain
-    soft_C_slope: Array = 0.0
+    eta_reg: Array = 0.0  # Kelvin viscoplastic regularization η_vp
+    # linear softening of C / φ to (soft_*_min) over EII ∈ [lo, hi]
+    soft_C_active: Array = 0.0
     soft_C_min: Array = 0.0
-    soft_phi_slope: Array = 0.0
+    soft_phi_active: Array = 0.0
     soft_phi_min: Array = 0.0
+    soft_strain_lo: Array = 0.0
+    soft_strain_hi: Array = 1.0
     # gravity (magnitude, applied along the last axis, pointing "down")
     gravity: Array = 0.0
 

@@ -1,0 +1,105 @@
+"""Nonlinear effective viscosity (GeoParams CompositeRheology equivalent).
+
+Vectorized version of the reference's viscosity layer
+(/root/reference/src/rheology/Viscosity.jl): the effective creep viscosity is
+evaluated from the local strain-rate (or stress) second invariant, blended
+over phases, relaxed with linear continuation
+``η ← ν·η_new + (1−ν)·η_old`` (reference ``continuation_linear``), and
+clamped to a cutoff window. Both cell-center and vertex fields are updated.
+
+Creep laws supported per phase (Material fields):
+- linear viscous: η = η0
+- dislocation (power-law) creep: η = A^(−1/n) · invII^(1/n − 1) · exp(E/(n R T))
+  from εII, or η = A^(−1) τII^(1−n) exp(E/(R T)) ... evaluated consistently
+  from the invariant handed in (`mode`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+from justrelax_tpu.rheology.materials import _as_stack, _bcast, phase_average
+from justrelax_tpu.rheology.plasticity import second_invariant
+
+Array = Any
+
+R_GAS = 8.314462618
+
+__all__ = ["phase_viscosity", "compute_viscosity_fields", "continuation_linear", "continuation_log"]
+
+
+def continuation_linear(x_new, x_old, nu):
+    return nu * x_new + (1.0 - nu) * x_old
+
+
+def continuation_log(x_new, x_old, nu):
+    out = jnp.exp((1.0 - nu) * jnp.log(x_old) + nu * jnp.log(x_new))
+    return jnp.where(jnp.isnan(out), x_old, out)
+
+
+def phase_viscosity(material, invII: Array, T: Optional[Array], phase_ratios, mode: str):
+    """Effective creep viscosity per cell from the invariant ``invII``.
+
+    ``mode`` is "eps" (strain-rate invariant) or "tau" (stress invariant).
+    """
+    m = _as_stack(material).params
+    eta0 = _bcast(m.eta0, invII)
+    A = _bcast(m.disl_A, invII)
+    n = _bcast(m.disl_n, invII)
+    E = _bcast(m.disl_E, invII)
+    has_pl_creep = A > 0
+    A_safe = jnp.where(has_pl_creep, A, 1.0)
+    inv_safe = jnp.maximum(invII[..., None], 1e-300)
+    if mode == "eps":
+        if T is None:
+            expo = 1.0
+        else:
+            expo = jnp.exp(E / (n * R_GAS * jnp.maximum(T[..., None], 1e-30)))
+        eta_disl = 0.5 * A_safe ** (-1.0 / n) * inv_safe ** (1.0 / n - 1.0) * expo
+    else:
+        if T is None:
+            expo = 1.0
+        else:
+            expo = jnp.exp(E / (R_GAS * jnp.maximum(T[..., None], 1e-30)))
+        eta_disl = 0.5 / A_safe * inv_safe ** (1.0 - n) * expo
+    eta_p = jnp.where(has_pl_creep, eta_disl, eta0)
+    return phase_average(eta_p, phase_ratios)
+
+
+def compute_viscosity_fields(
+    eta: Array,
+    eta_v: Array,
+    material,
+    xx: Array,
+    yy: Array,
+    xy_c: Array,
+    xx_v: Array,
+    yy_v: Array,
+    xy_v: Array,
+    phase_ratios_center,
+    phase_ratios_vertex,
+    T: Optional[Array] = None,
+    T_v: Optional[Array] = None,
+    mode: str = "eps",
+    relaxation: float = 1.0,
+    cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
+):
+    """Update (η centers, ηv vertices) from the tensor fields.
+
+    Mirrors compute_viscosity_kernel! (Viscosity.jl:371-418): the invariant at
+    centers uses (xx, yy, xy_c) directly; at vertices (xx_v, yy_v, xy).
+    """
+    eps0_c = jnp.where((xx == 0) & (yy == 0) & (xy_c == 0), jnp.finfo(xx.dtype).eps, 0.0)
+    II_c = second_invariant(xx + eps0_c, yy - eps0_c, xy_c)
+    eta_new = phase_viscosity(material, II_c, T, phase_ratios_center, mode)
+    eta_new = continuation_linear(eta_new, eta, relaxation)
+    eta_new = jnp.clip(eta_new, cutoff[0], cutoff[1])
+
+    eps0_v = jnp.where((xx_v == 0) & (yy_v == 0) & (xy_v == 0), jnp.finfo(xx.dtype).eps, 0.0)
+    II_v = second_invariant(xx_v + eps0_v, yy_v - eps0_v, xy_v)
+    eta_v_new = phase_viscosity(material, II_v, T_v, phase_ratios_vertex, mode)
+    eta_v_new = continuation_linear(eta_v_new, eta_v, relaxation)
+    eta_v_new = jnp.clip(eta_v_new, cutoff[0], cutoff[1])
+    return eta_new, eta_v_new
