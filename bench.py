@@ -23,12 +23,27 @@ import jax
 import jax.numpy as jnp
 
 
-def main(nx=1024, ny=1024, nout=100, repeats=5):
+def _time_chunk(jitted, args, repeats):
+    """Min wall time of one jitted chunk, forcing materialization (the axon
+    relay's block_until_ready can return before execution completes)."""
+    import numpy as np
+
+    out = jitted(*args)
+    float(np.asarray(out[0]).ravel()[0])  # compile + warmup
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jitted(*args)
+        float(np.asarray(out[0]).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main(nx=1024, ny=1024, nout_pair=(50, 250), repeats=5):
     import __graft_entry__ as g
 
     dtype = jnp.float32
     geometry, stokes, pt, bc, rho_g, G, K = g._solcx_setup(nx, ny, dtype)
-    step = g._step_fn(geometry, pt, bc, nout=nout)
     args = (
         stokes.V.Vx,
         stokes.V.Vy,
@@ -45,19 +60,13 @@ def main(nx=1024, ny=1024, nout=100, repeats=5):
         rho_g[1],
         jnp.asarray(0.1, dtype),
     )
-    jitted = jax.jit(step)
-    out = jitted(*args)
-    jax.block_until_ready(out)  # compile + warmup
-
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = jitted(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    # two-point slope cancels the fixed dispatch/transfer overhead per call
+    n1, n2 = nout_pair
+    t1 = _time_chunk(jax.jit(g._step_fn(geometry, pt, bc, nout=n1)), args, repeats)
+    t2 = _time_chunk(jax.jit(g._step_fn(geometry, pt, bc, nout=n2)), args, repeats)
 
     n_cells = nx * ny
-    t_iter = best / nout
+    t_iter = max((t2 - t1) / (n2 - n1), 1e-12)
     gups = n_cells / t_iter / 1e9  # giga grid-updates/s
     a_eff = 23 * n_cells * 4  # bytes per iteration
     t_eff = a_eff / t_iter / 1e9  # GB/s
