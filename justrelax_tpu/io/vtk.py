@@ -1,0 +1,114 @@
+"""VTK output for visualization (reference src/IO/VTK.jl:20-528).
+
+Dependency-free XML VTK writers:
+- :func:`save_vti` — uniform-grid ImageData (.vti) with cell and point data
+  (the analogue of the reference's ``save_vtk`` rectilinear output).
+- :class:`VTKSeries` — a .pvd time series (analogue of ``VTKDataSeries``).
+
+Arrays use this package's (x, y[, z]) axis order and are written in VTK's
+x-fastest ordering automatically.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["save_vti", "VTKSeries"]
+
+
+def _vtk_order(A: np.ndarray) -> np.ndarray:
+    """(x, y[, z]) indexed array → flat bytes in VTK x-fastest order."""
+    A = np.asarray(A)
+    if A.ndim == 2:
+        A = A[:, :, None]
+    return np.ascontiguousarray(A.transpose(2, 1, 0)).astype(np.float32)
+
+
+def _data_array(name: str, A: np.ndarray) -> str:
+    flat = _vtk_order(A).tobytes()
+    payload = struct.pack("<Q", len(flat)) + flat
+    b64 = base64.b64encode(payload).decode()
+    return (
+        f'<DataArray type="Float32" Name="{name}" format="binary" '
+        f'NumberOfComponents="1">\n{b64}\n</DataArray>'
+    )
+
+
+def save_vti(
+    path: str,
+    geometry,
+    cell_data: Optional[Dict[str, Any]] = None,
+    point_data: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write a .vti file with uniform spacing from ``geometry``.
+
+    ``cell_data`` arrays have shape ``ni``; ``point_data`` arrays ``ni+1``.
+    """
+    ni = geometry.ni
+    ndim = len(ni)
+    ext = tuple(ni) + (0,) * (3 - ndim)
+    origin = tuple(geometry.origin) + (0.0,) * (3 - ndim)
+    spacing = tuple(geometry.di) + (1.0,) * (3 - ndim)
+
+    whole = f"0 {ext[0]} 0 {ext[1]} 0 {ext[2]}"
+    parts = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="ImageData" version="1.0" byte_order="LittleEndian" header_type="UInt64">',
+        f'<ImageData WholeExtent="{whole}" Origin="{origin[0]} {origin[1]} {origin[2]}" '
+        f'Spacing="{spacing[0]} {spacing[1]} {spacing[2]}">',
+        f'<Piece Extent="{whole}">',
+    ]
+    if point_data:
+        parts.append("<PointData>")
+        for name, A in point_data.items():
+            parts.append(_data_array(name, np.asarray(A)))
+        parts.append("</PointData>")
+    if cell_data:
+        parts.append("<CellData>")
+        for name, A in cell_data.items():
+            parts.append(_data_array(name, np.asarray(A)))
+        parts.append("</CellData>")
+    parts += ["</Piece>", "</ImageData>", "</VTKFile>"]
+
+    if not path.endswith(".vti"):
+        path = path + ".vti"
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+class VTKSeries:
+    """A .pvd collection of timestamped .vti files (reference VTKDataSeries)."""
+
+    def __init__(self, path: str):
+        if not path.endswith(".pvd"):
+            path = path + ".pvd"
+        self.path = path
+        self._entries = []
+
+    def append(self, geometry, time: float, cell_data=None, point_data=None) -> str:
+        base = os.path.splitext(self.path)[0]
+        fname = f"{base}_{len(self._entries):05d}.vti"
+        save_vti(fname, geometry, cell_data=cell_data, point_data=point_data)
+        self._entries.append((time, os.path.basename(fname)))
+        self._write_index()
+        return fname
+
+    def _write_index(self) -> None:
+        lines = [
+            '<?xml version="1.0"?>',
+            '<VTKFile type="Collection" version="1.0" byte_order="LittleEndian">',
+            "<Collection>",
+        ]
+        for t, f in self._entries:
+            lines.append(f'<DataSet timestep="{t}" group="" part="0" file="{f}"/>')
+        lines += ["</Collection>", "</VTKFile>"]
+        with open(self.path, "w") as fh:
+            fh.write("\n".join(lines))

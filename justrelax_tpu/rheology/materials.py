@@ -180,14 +180,23 @@ def compute_radioactive_heating(material, phase_ratios=None) -> Array:
     return phase_average(m.H_r, phase_ratios)
 
 
+def _phase_average_inf_safe(values: Array, phase_ratios: Optional[Array]) -> Array:
+    """Ratio-weighted sum skipping zero-ratio phases (the reference's
+    ``fn_ratio`` skips them too) — avoids ∞·0 → NaN for infinite moduli."""
+    if phase_ratios is None:
+        return values[..., 0]
+    contrib = jnp.where(phase_ratios > 0, values * phase_ratios, 0.0)
+    return jnp.sum(contrib, axis=-1)
+
+
 def get_shear_modulus(material, phase_ratios=None) -> Array:
     m = _as_stack(material).params
     # NaN/0 → ∞ per reference shim (src/rheology/GeoParams.jl:1-20)
     G = jnp.where((m.G == 0) | jnp.isnan(m.G), _INF, m.G)
-    return phase_average(G, phase_ratios)
+    return _phase_average_inf_safe(G, phase_ratios)
 
 
 def get_bulk_modulus(material, phase_ratios=None) -> Array:
     m = _as_stack(material).params
     Kb = jnp.where((m.Kb == 0) | jnp.isnan(m.Kb), _INF, m.Kb)
-    return phase_average(Kb, phase_ratios)
+    return _phase_average_inf_safe(Kb, phase_ratios)

@@ -1,0 +1,121 @@
+"""Shear heating, principal stresses, phase ratios, stress rotation, 3D
+thermal diffusion (reference test_shearheating*, test_diffusion3D, ...)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from justrelax_tpu.core.coeffs import PTThermalCoeffs
+from justrelax_tpu.core.grid import Geometry
+from justrelax_tpu.core.state import ThermalState
+from justrelax_tpu.ops.bc import Faces, TemperatureBoundaryConditions, thermal_bcs
+from justrelax_tpu.ops.heating import compute_shear_heating
+from justrelax_tpu.ops.principal_stresses import principal_stresses_2d, principal_stresses_3d
+from justrelax_tpu.ops.stress_rotation import (
+    compute_vorticity_center,
+    rotate_stress_grid_2d,
+    rotate_stress_particles_2d,
+)
+from justrelax_tpu.rheology.materials import Material
+from justrelax_tpu.rheology.phases import phase_ratios_from_field
+from justrelax_tpu.solvers.thermal import heatdiffusion_PT
+
+
+def test_shear_heating_viscous_dissipation():
+    """Pure viscous flow (τ_o = τ, G→∞): H = τ:ε = 2η εII² contraction."""
+    ni = (4, 4)
+    exx = jnp.full(ni, 1.0)
+    eyy = jnp.full(ni, -1.0)
+    exy_v = jnp.full((5, 5), 0.5)
+    eta = 2.0
+    txx, tyy, txy = 2 * eta * exx, 2 * eta * eyy, 2 * eta * jnp.full(ni, 0.5)
+    m = Material(G=jnp.inf, eta0=eta)
+    H = compute_shear_heating(txx, tyy, txy, txx, tyy, txy, exx, eyy, exy_v, m, 1.0)
+    expected = txx * exx + tyy * eyy + 2 * txy * 0.5
+    np.testing.assert_allclose(np.asarray(H), np.asarray(expected))
+    assert float(H.min()) > 0
+
+
+def test_principal_stresses_2d():
+    txx = jnp.asarray([[2.0]])
+    tyy = jnp.asarray([[-2.0]])
+    txy = jnp.asarray([[0.0]])
+    ps = principal_stresses_2d(txx, tyy, txy)
+    # σ1 along x with magnitude... a=0, b=√(8+0)=2.83
+    assert ps.sigma1[0, 0, 0] == pytest.approx(np.sqrt(8.0) * np.cos(0.0))
+    assert ps.sigma2[1, 0, 0] == pytest.approx(-np.sqrt(8.0))
+
+
+def test_principal_stresses_3d_identity():
+    ni = (2, 2, 2)
+    z = jnp.zeros(ni)
+    ps = principal_stresses_3d(jnp.full(ni, 3.0), jnp.full(ni, 2.0), jnp.full(ni, 1.0), z, z, z)
+    np.testing.assert_allclose(np.asarray(ps.sigma1[0]), 3.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ps.sigma3[2]), 1.0, atol=1e-12)
+
+
+def test_phase_ratios_from_field():
+    phase = jnp.asarray(np.repeat([0, 0, 1, 1], 4).reshape(4, 4))
+    pr = phase_ratios_from_field(phase, 2)
+    assert pr.center.shape == (4, 4, 2)
+    assert pr.vertex.shape == (5, 5, 2)
+    assert pr.face_x.shape == (5, 4, 2)
+    np.testing.assert_allclose(np.asarray(pr.center.sum(-1)), 1.0)
+    np.testing.assert_allclose(np.asarray(pr.vertex.sum(-1)), 1.0)
+    # interface vertex column mixes 50/50
+    np.testing.assert_allclose(np.asarray(pr.vertex[2, 2]), [0.5, 0.5])
+
+
+def test_stress_rotation_invariant():
+    """Rotation preserves the stress invariant; Jaumann matches finite
+    rotation to O(dt²)."""
+    txx, tyy, txy = jnp.asarray([[1.0]]), jnp.asarray([[-1.0]]), jnp.asarray([[0.3]])
+    w = jnp.asarray([[0.2]])
+    dt = 1e-3
+    xx2, yy2, xy2 = rotate_stress_particles_2d(txx, tyy, txy, w, dt)
+    II0 = 0.5 * (txx**2 + tyy**2) + txy**2
+    II1 = 0.5 * (xx2**2 + yy2**2) + xy2**2
+    np.testing.assert_allclose(np.asarray(II1), np.asarray(II0), rtol=1e-12)
+    xxj, yyj, xyj = rotate_stress_grid_2d(txx, tyy, txy, w, dt)
+    np.testing.assert_allclose(np.asarray(xxj), np.asarray(xx2), atol=1e-6)
+
+
+def test_vorticity_rigid_rotation():
+    """Rigid rotation V = ω×r has vorticity = ω everywhere."""
+    g = Geometry((8, 8), (1.0, 1.0))
+    w0 = 0.7
+    yvx = np.asarray(g.xi_vel[0][1])
+    Vx = jnp.asarray(-w0 * yvx[None, :] * np.ones((9, 1)))
+    xvy = np.asarray(g.xi_vel[1][0])
+    Vy = jnp.asarray(w0 * xvy[:, None] * np.ones((1, 9)))
+    wc = compute_vorticity_center(Vx, Vy, 8.0, 8.0)
+    np.testing.assert_allclose(np.asarray(wc), w0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_diffusion3d_decay():
+    """3D PT diffusion: hot Gaussian relaxes toward the Dirichlet background
+    and conserves monotonicity (reference test_diffusion3D smoke analogue)."""
+    ni = (12, 12, 12)
+    g = Geometry(ni, (1.0, 1.0, 1.0))
+    thermal = ThermalState.make(ni)
+    X, Y, Z = np.meshgrid(*g.xci, indexing="ij")
+    T0 = 1.0 + 2.0 * np.exp(-((X - 0.5) ** 2 + (Y - 0.5) ** 2 + (Z - 0.5) ** 2) / 0.05)
+    T = np.ones((14, 14, 14))
+    T[1:-1, 1:-1, 1:-1] = T0
+    bc = TemperatureBoundaryConditions(
+        constant_value=Faces(top=1.0, bot=1.0, left=1.0, right=1.0, front=1.0, back=1.0)
+    )
+    Tj = thermal_bcs(jnp.asarray(T), bc)
+    thermal = thermal.replace(T=Tj, Told=Tj)
+    K = jnp.ones(ni)
+    rc = jnp.ones(ni)
+    dt = 0.01
+    pt = PTThermalCoeffs.make(K, rc, dt, g.di, g.li)
+    thermal, info = heatdiffusion_PT(thermal, pt, bc, dt, g, K=K, rho_Cp=rc, iter_max=5000, nout=500)
+    assert float(info.err) < 1e-8
+    T1 = np.asarray(thermal.T[1:-1, 1:-1, 1:-1])
+    assert T1.max() < T0.max()  # peak decays
+    assert T1.min() > 0.99  # no undershoot
+    # total heat decreases toward the cold boundaries
+    assert T1.sum() < T0.sum()
