@@ -97,6 +97,7 @@ def solve_vep(
 
     K_c = get_bulk_modulus(material, phase_ratios_center)
     G_c = get_shear_modulus(material, phase_ratios_center)
+    T_vertex = None if T is None else av_vertex_to_center(jnp.pad(T, 1, mode="edge"))
 
     # buoyancy: ρ(T, P)·g along −y (pointing down = +g sign as in ρg arrays)
     def rho_g_fields(P):
@@ -151,6 +152,7 @@ def solve_vep(
             res.txx, res.tyy, res.txy_c,
             jnp.zeros_like(c.eta_v), jnp.zeros_like(c.eta_v), res.txy_v,
             phase_ratios_center, phase_ratios_vertex,
+            T=T, T_v=T_vertex,
             mode="tau",
             relaxation=viscosity_relaxation,
             cutoff=viscosity_cutoff,
