@@ -33,6 +33,15 @@ def vmem_bytes_needed(nx: int, ny: int, itemsize: int = 4) -> int:
     return 10 * (nx + 2) * (ny + 2) * itemsize
 
 
+def _pad1(A):
+    """Zero-pad by one on every side via concatenation (Mosaic rejects
+    jnp.pad inside TPU kernels)."""
+    zc = jnp.zeros((A.shape[0], 1), A.dtype)
+    A = jnp.concatenate([zc, A, zc], axis=1)
+    zr = jnp.zeros((1, A.shape[1]), A.dtype)
+    return jnp.concatenate([zr, A, zr], axis=0)
+
+
 def _iteration(Vx, Vy, P, txx, tyy, txy, eta, eta_tau, rho_gx, rho_gy,
                inv_dx, inv_dy, r_theta, theta_dtau, etadtau, free_slip):
     """One viscous APT iteration on full arrays (shapes as core/state.py)."""
@@ -56,7 +65,7 @@ def _iteration(Vx, Vy, P, txx, tyy, txy, eta, eta_tau, rho_gx, rho_gy,
     tyy = tyy + dtau_r * (2.0 * eta * eyy - tyy)
     eta_v = 0.25 * (eta[:-1, :-1] + eta[1:, :-1] + eta[:-1, 1:] + eta[1:, 1:])
     inc = dtau_r * (2.0 * eta_v * exy[1:-1, 1:-1] - txy[1:-1, 1:-1])
-    txy = jnp.pad(txy[1:-1, 1:-1] + inc, ((1, 1), (1, 1))) + _edge_only(txy)
+    txy = _pad1(txy[1:-1, 1:-1] + inc) + _edge_only(txy)
 
     # damped velocity update on interior nodes
     rx = (
@@ -75,8 +84,8 @@ def _iteration(Vx, Vy, P, txx, tyy, txy, eta, eta_tau, rho_gx, rho_gy,
     etay = 0.5 * (eta_tau[:, 1:] + eta_tau[:, :-1])
     Vx_in = Vx[1:-1, 1:-1] + rx * etadtau / etax
     Vy_in = Vy[1:-1, 1:-1] + ry * etadtau / etay
-    Vx = jnp.pad(Vx_in, ((1, 1), (1, 1))) + _edge_only(Vx)
-    Vy = jnp.pad(Vy_in, ((1, 1), (1, 1))) + _edge_only(Vy)
+    Vx = _pad1(Vx_in) + _edge_only(Vx)
+    Vy = _pad1(Vy_in) + _edge_only(Vy)
 
     if free_slip:
         # tangential ghost mirrors (free_slip on all faces)
@@ -87,7 +96,7 @@ def _iteration(Vx, Vy, P, txx, tyy, txy, eta, eta_tau, rho_gx, rho_gy,
 
 def _edge_only(A):
     """A with its interior zeroed (keeps the boundary ring)."""
-    return A - jnp.pad(A[1:-1, 1:-1], ((1, 1), (1, 1)))
+    return A - _pad1(A[1:-1, 1:-1])
 
 
 def stokes_chunk_vmem(

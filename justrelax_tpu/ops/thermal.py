@@ -99,10 +99,10 @@ def _face_conductivities(T, P, material, phase_ratios_faces):
             K2 = mat.compute_conductivity(material, T=Tf, P=Pp[hi])
             Ks.append(0.5 * (K1 + K2))
         else:
-            prp = _pad_edge(pr, axis)
-            K1 = mat.compute_conductivity(material, T=Tf, P=Pp[lo], phase_ratios=prp[lo])
-            K2 = mat.compute_conductivity(material, T=Tf, P=Pp[hi], phase_ratios=prp[hi])
-            Ks.append(0.5 * (K1 + K2))
+            # face-resident phase ratios: evaluate K at the face directly with
+            # the face temperature and side-averaged pressure
+            Pf = 0.5 * (Pp[lo] + Pp[hi])
+            Ks.append(mat.compute_conductivity(material, T=Tf, P=Pf, phase_ratios=pr))
     return tuple(Ks)
 
 
