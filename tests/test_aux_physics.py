@@ -119,3 +119,30 @@ def test_diffusion3d_decay():
     assert T1.min() > 0.99  # no undershoot
     # total heat decreases toward the cold boundaries
     assert T1.sum() < T0.sum()
+
+
+def test_free_surface_stabilization_term():
+    """compute_V with free_surface_dt=0 equals the plain update; a nonzero dt
+    modifies Vy only where the vertical density gradient is nonzero."""
+    import jax.numpy as jnp
+    from justrelax_tpu.ops.stokes import compute_V
+
+    rng = np.random.default_rng(7)
+    nx, ny = 8, 8
+    Vx = jnp.asarray(rng.standard_normal((nx + 1, ny + 2)))
+    Vy = jnp.asarray(rng.standard_normal((nx + 2, ny + 1)))
+    P = jnp.asarray(rng.standard_normal((nx, ny)))
+    txx = jnp.asarray(rng.standard_normal((nx, ny)))
+    tyy = jnp.asarray(rng.standard_normal((nx, ny)))
+    txy = jnp.asarray(rng.standard_normal((nx + 1, ny + 1)))
+    rho_gy = jnp.asarray(np.linspace(1.0, 2.0, ny)[None, :] * np.ones((nx, 1)))
+    eta_tau = jnp.ones((nx, ny))
+    a0 = compute_V(Vx, Vy, P, txx, tyy, txy, 0.1, jnp.zeros((nx, ny)), rho_gy,
+                   eta_tau, 8.0, 8.0, free_surface_dt=None)
+    a1 = compute_V(Vx, Vy, P, txx, tyy, txy, 0.1, jnp.zeros((nx, ny)), rho_gy,
+                   eta_tau, 8.0, 8.0, free_surface_dt=0.0)
+    np.testing.assert_allclose(np.asarray(a0[1]), np.asarray(a1[1]))
+    a2 = compute_V(Vx, Vy, P, txx, tyy, txy, 0.1, jnp.zeros((nx, ny)), rho_gy,
+                   eta_tau, 8.0, 8.0, free_surface_dt=1.0)
+    assert np.abs(np.asarray(a2[1]) - np.asarray(a0[1])).max() > 0
+    np.testing.assert_allclose(np.asarray(a2[0]), np.asarray(a0[0]))
