@@ -23,23 +23,35 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_chunk(jitted, args, repeats):
-    """Min wall time of one jitted chunk, forcing materialization (the axon
-    relay's block_until_ready can return before execution completes)."""
+def _materialize(out):
+    """Force execution by pulling the first output array to the host (the
+    axon relay's block_until_ready can return before execution completes).
+    The transfer cost is a fixed per-call overhead, cancelled by the
+    two-point slope below."""
     import numpy as np
 
-    out = jitted(*args)
-    float(np.asarray(out[0]).ravel()[0])  # compile + warmup
-    best = float("inf")
+    return float(np.asarray(out[0]).ravel()[0])
+
+
+def _time_once(jitted, args):
+    t0 = time.perf_counter()
+    _materialize(jitted(*args))
+    return time.perf_counter() - t0
+
+
+def _slope(jit1, jit2, args, repeats):
+    """Min-of-repeats times for the two chunk sizes, sampled interleaved so
+    tunnel/host contention hits both alike; returns (min t1, min t2)."""
+    for j in (jit1, jit2):  # compile + warmup
+        _materialize(j(*args))
+    t1s, t2s = [], []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = jitted(*args)
-        float(np.asarray(out[0]).ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+        t1s.append(_time_once(jit1, args))
+        t2s.append(_time_once(jit2, args))
+    return min(t1s), min(t2s)
 
 
-def main(nx=1024, ny=1024, nout_pair=(50, 250), repeats=5):
+def main(nx=1024, ny=1024, nout_pair=(50, 250), repeats=8):
     import __graft_entry__ as g
 
     dtype = jnp.float32
@@ -62,8 +74,12 @@ def main(nx=1024, ny=1024, nout_pair=(50, 250), repeats=5):
     )
     # two-point slope cancels the fixed dispatch/transfer overhead per call
     n1, n2 = nout_pair
-    t1 = _time_chunk(jax.jit(g._step_fn(geometry, pt, bc, nout=n1)), args, repeats)
-    t2 = _time_chunk(jax.jit(g._step_fn(geometry, pt, bc, nout=n2)), args, repeats)
+    t1, t2 = _slope(
+        jax.jit(g._step_fn(geometry, pt, bc, nout=n1)),
+        jax.jit(g._step_fn(geometry, pt, bc, nout=n2)),
+        args,
+        repeats,
+    )
 
     n_cells = nx * ny
     t_iter = max((t2 - t1) / (n2 - n1), 1e-12)

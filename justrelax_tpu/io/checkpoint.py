@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import tempfile
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from __future__ import annotations
 import base64
 import os
 import struct
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 

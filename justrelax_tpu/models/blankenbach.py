@@ -31,12 +31,7 @@ from justrelax_tpu.ops.bc import (
     VelocityBoundaryConditions,
     thermal_bcs,
 )
-from justrelax_tpu.ops.interpolation import (
-    center2vertex,
-    velocity2center,
-    velocity2vertex,
-    vertex2center,
-)
+from justrelax_tpu.ops.interpolation import velocity2center, velocity2vertex
 from justrelax_tpu.rheology.materials import Material
 from justrelax_tpu.solvers.stokes2d_vep import solve_vep
 from justrelax_tpu.solvers.thermal import heatdiffusion_PT

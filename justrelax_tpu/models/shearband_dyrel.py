@@ -14,7 +14,6 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
-import numpy as np
 
 from justrelax_tpu.core.grid import Geometry
 from justrelax_tpu.core.state import StokesState

@@ -13,7 +13,6 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
-import numpy as np
 
 from justrelax_tpu.core.coeffs import PTStokesCoeffs, PTThermalCoeffs
 from justrelax_tpu.core.grid import Geometry

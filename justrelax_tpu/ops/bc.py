@@ -18,7 +18,7 @@ Application order (reference BoundaryConditions.jl:46-54, 82-95):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ components count twice in the contraction (tensor double-dot).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ XLA's ``eigh`` is the TPU-native equivalent).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 

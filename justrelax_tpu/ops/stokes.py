@@ -14,7 +14,7 @@ The damped PT updates (Räss et al. 2022):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 
@@ -56,17 +56,23 @@ def compute_strain_rate(grad_V, Vx, Vy, inv_dx, inv_dy):
 
 
 # --- pressure ---------------------------------------------------------------
-def compute_P(P, P0, grad_V, Q, eta, K, G, dt, r, theta_dtau):
-    """Compressible visco-elastic pressure update (PressureKernels.jl:186-195).
+def compute_P(P, P0, grad_V, Q, eta, K, G, dt, r, theta_dtau, alpha_dT=None):
+    """Compressible visco-elastic pressure update (PressureKernels.jl:186-206).
 
-    ``K``/``G`` may be ∞ (incompressible / purely viscous). Returns (RP, P).
+    ``K``/``G`` may be ∞ (incompressible / purely viscous). With
+    ``alpha_dT = α·ΔT`` the thermal-stress source of Kiss et al. (2023) is
+    added (reference _compute_P! variant at PressureKernels.jl:197-206).
+    Returns (RP, P).
     """
     _Kdt = 1.0 / (K * dt)
     _Gdt = 1.0 / (G * dt)
     _dt = 1.0 / dt
-    RP = -(P - P0) * _Kdt + (-grad_V + Q * _dt)
+    rhs = -grad_V + Q * _dt
+    if alpha_dT is not None:
+        rhs = rhs + alpha_dT * _dt
+    RP = -(P - P0) * _Kdt + rhs
     psi = 1.0 / (1.0 / eta + _Gdt) * (r / theta_dtau)
-    P_new = ((P0 * _Kdt + (-grad_V + Q * _dt)) * psi + P) / (1.0 + _Kdt * psi)
+    P_new = ((P0 * _Kdt + rhs) * psi + P) / (1.0 + _Kdt * psi)
     return RP, P_new
 
 

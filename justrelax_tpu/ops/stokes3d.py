@@ -9,7 +9,7 @@ StressKernels.jl:148-232). Staggered shapes per core/state.py; axis order
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 

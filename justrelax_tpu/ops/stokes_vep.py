@@ -13,7 +13,7 @@ Branchless: the reference's yield branch (``is_pl && τII≠0 && F>0``) becomes
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ Two routes, as in the reference:
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 

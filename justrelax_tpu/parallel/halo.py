@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -69,12 +68,6 @@ def from_next(x: Array, mesh_axis: str) -> Array:
     """Each device receives ``x`` from its higher-index neighbor (cyclic)."""
     n = lax.axis_size(mesh_axis)
     return lax.ppermute(x, mesh_axis, perm=[(i, (i - 1) % n) for i in range(n)])
-
-
-def _take(A: Array, axis: int, idx) -> Array:
-    sl = [slice(None)] * A.ndim
-    sl[axis] = slice(idx, idx + 1) if idx >= 0 else slice(idx, idx + 1 if idx != -1 else None)
-    return A[tuple(sl)]
 
 
 def extend(A: Array, axis: int, halo: int = 1, mesh_axis: Optional[str] = None) -> Array:

@@ -24,8 +24,7 @@ Single-device results are reproduced exactly (see tests/test_distributed.py).
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ Whole solve inside one ``shard_map``.
 from __future__ import annotations
 
 import math
-from typing import Any, NamedTuple, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

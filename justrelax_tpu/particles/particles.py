@@ -24,7 +24,6 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

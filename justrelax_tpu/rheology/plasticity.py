@@ -21,7 +21,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from justrelax_tpu.rheology.materials import MaterialStack, _as_stack, _bcast
+from justrelax_tpu.rheology.materials import _as_stack, _bcast
 
 Array = Any
 

@@ -38,10 +38,8 @@ from justrelax_tpu.ops.bc import VelocityBoundaryConditions, flow_bcs
 from justrelax_tpu.ops.stencil import av_a, expand_edges
 from justrelax_tpu.rheology.materials import (
     _as_stack,
-    _bcast,
     get_bulk_modulus,
     get_shear_modulus,
-    phase_average,
 )
 from justrelax_tpu.rheology.plasticity import second_invariant
 from justrelax_tpu.solvers.stokes2d import StokesSolveInfo, _norm

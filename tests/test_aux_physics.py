@@ -146,3 +146,22 @@ def test_free_surface_stabilization_term():
                    eta_tau, 8.0, 8.0, free_surface_dt=1.0)
     assert np.abs(np.asarray(a2[1]) - np.asarray(a0[1])).max() > 0
     np.testing.assert_allclose(np.asarray(a2[0]), np.asarray(a0[0]))
+
+
+def test_thermal_stress_pressure_source():
+    """Kiss et al. (2023) thermal-stress term: heating at fixed volume raises
+    pressure by ~K·α·ΔT at the compressible fixed point."""
+    from justrelax_tpu.ops.stokes import compute_P
+
+    ni = (4, 4)
+    P = jnp.zeros(ni)
+    grad_V = jnp.zeros(ni)
+    Q = jnp.zeros(ni)
+    eta, K, G = jnp.ones(ni), jnp.full(ni, 2.0), jnp.full(ni, jnp.inf)
+    dt, r, theta = 1.0, 0.7, 10.0
+    a_dT = jnp.full(ni, 0.01)  # α·ΔT
+    for _ in range(2000):
+        RP, P = compute_P(P, jnp.zeros(ni), grad_V, Q, eta, K, G, dt, r, theta,
+                          alpha_dT=a_dT)
+    # fixed point: RP = 0 → P = K·dt·α·ΔT/dt = K·α·ΔT
+    np.testing.assert_allclose(np.asarray(P), 2.0 * 0.01, rtol=1e-6)
