@@ -90,13 +90,16 @@ def solve_ve(
     free_surface: bool = False,
     halo_exchange=None,
     reduce_norm=None,
+    alpha_dT=None,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """Visco-elastic (compressible) APT Stokes solve, one physical timestep.
 
     Mirrors reference Stokes2D.jl:181-341: pressure relaxed with the maxloc
     preconditioner ``ητ``, stress updated with the VE PT increment, velocity
     damped by ``ηdτ/ητ̄``. ``G``/``K`` may be ∞ for viscous/incompressible
-    limits (SolCx et al.).
+    limits (SolCx et al.). ``alpha_dT = α·ΔT`` (cell-centered) adds the
+    thermal-stress pressure source of Kiss et al. 2023 (reference
+    PressureKernels.jl:197-206).
     """
     nx, ny = stokes.P.shape
     inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
@@ -119,7 +122,7 @@ def solve_ve(
         Vx, Vy, P, txx, tyy, txy = c
         grad_V = kernels.compute_grad_V(Vx, Vy, inv_dx, inv_dy)
         RP, P = kernels.compute_P(
-            P, P0, grad_V, Q, eta_tau, K, G, dt, r, theta_dtau
+            P, P0, grad_V, Q, eta_tau, K, G, dt, r, theta_dtau, alpha_dT=alpha_dT
         )
         exx, eyy, exy = kernels.compute_strain_rate(grad_V, Vx, Vy, inv_dx, inv_dy)
         txx, tyy, txy = kernels.compute_tau_ve(
@@ -136,7 +139,9 @@ def solve_ve(
 
     def residual_norms(Vx, Vy, P, txx, tyy, txy):
         grad_V = kernels.compute_grad_V(Vx, Vy, inv_dx, inv_dy)
-        RP, _ = kernels.compute_P(P, P0, grad_V, Q, eta_tau, K, G, dt, r, theta_dtau)
+        RP, _ = kernels.compute_P(
+            P, P0, grad_V, Q, eta_tau, K, G, dt, r, theta_dtau, alpha_dT=alpha_dT
+        )
         Rx, Ry = kernels.compute_Res(
             P, txx, tyy, txy, rho_gx, rho_gy, inv_dx, inv_dy,
             Vy=Vy, free_surface_dt=fs_dt,
