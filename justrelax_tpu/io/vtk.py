@@ -18,7 +18,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-__all__ = ["save_vti", "VTKSeries"]
+__all__ = ["save_vti", "save_pvtk", "VTKSeries"]
 
 
 def _vtk_order(A: np.ndarray) -> np.ndarray:
@@ -44,18 +44,26 @@ def save_vti(
     geometry,
     cell_data: Optional[Dict[str, Any]] = None,
     point_data: Optional[Dict[str, Any]] = None,
+    extent_offset=None,
 ) -> str:
     """Write a .vti file with uniform spacing from ``geometry``.
 
     ``cell_data`` arrays have shape ``ni``; ``point_data`` arrays ``ni+1``.
+    ``extent_offset`` shifts the written extent into global index space (used
+    by :func:`save_pvtk` pieces; ``geometry.origin`` must then be the GLOBAL
+    origin so VTK's ``origin + index·spacing`` lands correctly).
     """
     ni = geometry.ni
     ndim = len(ni)
     ext = tuple(ni) + (0,) * (3 - ndim)
+    off = tuple(extent_offset or ()) + (0,) * (3 - len(extent_offset or ()))
     origin = tuple(geometry.origin) + (0.0,) * (3 - ndim)
     spacing = tuple(geometry.di) + (1.0,) * (3 - ndim)
 
-    whole = f"0 {ext[0]} 0 {ext[1]} 0 {ext[2]}"
+    whole = (
+        f"{off[0]} {off[0] + ext[0]} {off[1]} {off[1] + ext[1]} "
+        f"{off[2]} {off[2] + ext[2]}"
+    )
     parts = [
         '<?xml version="1.0"?>',
         '<VTKFile type="ImageData" version="1.0" byte_order="LittleEndian" header_type="UInt64">',
@@ -112,3 +120,69 @@ class VTKSeries:
         lines += ["</Collection>", "</VTKFile>"]
         with open(self.path, "w") as fh:
             fh.write("\n".join(lines))
+
+
+def save_pvtk(
+    path: str,
+    geometry,
+    decomp,
+    cell_data: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Parallel VTK output: one ``.pvti`` index plus per-rank ``.vti`` pieces
+    (reference ``save_pvtk`` for MPI runs, src/IO/VTK.jl).
+
+    ``geometry`` describes the GLOBAL grid; ``decomp`` is a
+    :class:`~justrelax_tpu.parallel.decomp.Decomp2D`. ``cell_data`` maps names
+    to global (nx, ny) arrays — each rank's owned block is sliced out and
+    written as its own piece, exactly what an MPI run would produce, so
+    ParaView opens the ``.pvti`` identically.
+    """
+    if not path.endswith(".pvti"):
+        path = path + ".pvti"
+    base = os.path.splitext(path)[0]
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+
+    nxl, nyl = decomp.nxl, decomp.nyl
+    origin = tuple(geometry.origin) + (0.0,)
+    spacing = tuple(geometry.di) + (1.0,)
+    whole = f"0 {decomp.px * nxl} 0 {decomp.py * nyl} 0 0"
+
+    pieces = []
+    for ix in range(decomp.px):
+        for iy in range(decomp.py):
+            piece_path = f"{base}_{ix}_{iy}.vti"
+            local = {
+                name: np.asarray(A)[ix * nxl:(ix + 1) * nxl, iy * nyl:(iy + 1) * nyl]
+                for name, A in (cell_data or {}).items()
+            }
+
+            class _LocalGeom:
+                ni = (nxl, nyl)
+                di = geometry.di
+                origin = geometry.origin  # global origin + extent offset
+
+            save_vti(
+                piece_path, _LocalGeom, cell_data=local,
+                extent_offset=(ix * nxl, iy * nyl),
+            )
+            ext = f"{ix * nxl} {(ix + 1) * nxl} {iy * nyl} {(iy + 1) * nyl} 0 0"
+            pieces.append((os.path.basename(piece_path), ext))
+
+    lines = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="PImageData" version="1.0" byte_order="LittleEndian" header_type="UInt64">',
+        f'<PImageData WholeExtent="{whole}" GhostLevel="0" '
+        f'Origin="{origin[0]} {origin[1]} {origin[2]}" '
+        f'Spacing="{spacing[0]} {spacing[1]} {spacing[2]}">',
+        "<PCellData>",
+    ]
+    for name in (cell_data or {}):
+        lines.append(f'<PDataArray type="Float32" Name="{name}" NumberOfComponents="1"/>')
+    lines.append("</PCellData>")
+    for fname, ext in pieces:
+        lines.append(f'<Piece Extent="{ext}" Source="{fname}"/>')
+    lines += ["</PImageData>", "</VTKFile>"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path

@@ -30,6 +30,7 @@ __all__ = [
     "thermal_bcs",
     "flow_bcs",
     "pureshear_bc",
+    "free_surface_vy",
 ]
 
 Value = Union[bool, float, None]
@@ -281,3 +282,23 @@ def pureshear_bc(Vx, Vy, xvi, eps_bg):
     Vx = Vx.at[:, 1:-1].set(jnp.broadcast_to((eps_bg * xv)[:, None], (Vx.shape[0], Vx.shape[1] - 2)))
     Vy = Vy.at[1:-1, :].set(jnp.broadcast_to((-eps_bg * yv)[None, :], (Vy.shape[0] - 2, Vy.shape[1])))
     return Vx, Vy
+
+
+def free_surface_vy(Vx, Vy, P, P_old, tyy_old, eta, Gdt, inv_dx, inv_dy, nu=1.0e-2):
+    """Analytic free-surface condition on the top Vy row (reference
+    FreeSurface_Vy!, free_surface.jl:38-67): the zero-traction normal stress
+    at the surface gives
+
+      Vy[top] = Vy[top−1] + 3/2·(P/(2η) + (τyy_o + P_o)/(2 G dt)
+                                 + (∂Vx/∂x)|_{top−1}/3)·dy,
+
+    under-relaxed by ``nu`` (reference ν = 1e-2). ``P``/``P_old``/``tyy_old``/
+    ``eta`` are the top-row center values (shape (nx,)); ``Gdt`` is G·dt at
+    the same cells (∞ ⇒ purely viscous). Updates interior columns of the top
+    ghost row of Vy.
+    """
+    dVx_dx = (Vx[1:, -2] - Vx[:-1, -2]) * inv_dx  # (nx,) at top-1 row
+    target = Vy[1:-1, -2] + 1.5 * (
+        P / (2.0 * eta) + (tyy_old + P_old) / (2.0 * Gdt) + dVx_dx / 3.0
+    ) / inv_dy
+    return Vy.at[1:-1, -1].set(nu * target + (1.0 - nu) * Vy[1:-1, -1])

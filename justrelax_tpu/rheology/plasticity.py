@@ -17,6 +17,7 @@ All functions broadcast over the grid; phase parameters live in a
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -25,7 +26,15 @@ from justrelax_tpu.rheology.materials import _as_stack, _bcast
 
 Array = Any
 
-__all__ = ["PlasticParams", "plastic_params_phase", "yield_function", "second_invariant"]
+__all__ = [
+    "PlasticParams",
+    "plastic_params_phase",
+    "yield_function",
+    "second_invariant",
+    "DruckerPragerCap",
+    "plastic_gradients",
+    "yield_function_cap",
+]
 
 
 class PlasticParams(NamedTuple):
@@ -107,3 +116,69 @@ def second_invariant_staggered(xx, yy, xy_gathered4):
     4 surrounding vertex values (GeoParams second_invariant_staggered)."""
     xy2 = sum(v**2 for v in xy_gathered4) / 4.0
     return jnp.sqrt(0.5 * (xx**2 + yy**2) + xy2)
+
+
+# --- plastic flow gradients (cone / cap) ------------------------------------
+@dataclass(frozen=True)
+class DruckerPragerCap:
+    """Elliptic compression cap closing the DP cone at high pressure
+    (``DruckerPragerCap`` in the reference's rheology menu, SURVEY §GeoParams;
+    the reference defers the gradients to GeoParams — here the cap is the
+    standard elliptic end-cap in (P, τII) space:
+
+      F_cap = √(((P − Pc)/a)² + (τII/b)²) − 1   for P > Pc,
+
+    with semi-axes ``a`` (pressure) and ``b`` (stress), center ``Pc`` on the
+    hydrostat, associated flow on the cap. The exact GeoParams coefficient
+    convention is to be pinned from source next round (see PARITY.md)."""
+
+    Pc: float
+    a: float
+    b: float
+
+
+def plastic_gradients(
+    txx_trial, tyy_trial, txy_trial, tau_II, P, pp: PlasticParams,
+    cap: Optional[DruckerPragerCap] = None,
+):
+    """Flow/yield gradients for the return mapping, tensor convention
+    (reference compute_plastic_gradients_phase, StressUpdate.jl:465-550:
+    normal slots of GeoParams ∂Q∂τ kept, shear slots halved).
+
+    Returns ``((dQdτ_xx, dQdτ_yy, dQdτ_xy), dQdP, dFdP)``. With ``cap``,
+    cells at ``P > cap.Pc`` use the elliptic cap gradients (associated);
+    the volume-closure term of the λ denominator is ``K·dt·dFdP·dQdP``.
+    """
+    it = 1.0 / jnp.maximum(tau_II, 1e-30)
+    # DP cone, tensor convention: all slots τ/(2τII)
+    half_it = 0.5 * it
+    dQdt_cone = (txx_trial * half_it, tyy_trial * half_it, txy_trial * half_it)
+    dQdP_cone = -pp.sinpsi
+    dFdP_cone = -pp.sinphi
+    if cap is None:
+        return dQdt_cone, dQdP_cone, dFdP_cone
+
+    # elliptic cap: F = √(((P−Pc)/a)² + (τII/b)²) − 1, associated (Q = F)
+    dP = P - cap.Pc
+    S = jnp.sqrt((dP / cap.a) ** 2 + (tau_II / cap.b) ** 2)
+    S = jnp.maximum(S, 1e-30)
+    dFdP_cap = dP / (cap.a**2 * S)
+    # ∂F/∂τ_ij = (τII/(b²S)) · ∂τII/∂τ_ij, tensor convention as above
+    fac = tau_II / (cap.b**2 * S) * half_it
+    on_cap = dP > 0.0
+    dQdt = tuple(
+        jnp.where(on_cap, fac * t, g) for t, g in zip(
+            (txx_trial, tyy_trial, txy_trial), dQdt_cone
+        )
+    )
+    dQdP = jnp.where(on_cap, dFdP_cap, dQdP_cone)
+    dFdP = jnp.where(on_cap, dFdP_cap, dFdP_cone)
+    return dQdt, dQdP, dFdP
+
+
+def yield_function_cap(pp: PlasticParams, P, tau_II, cap: DruckerPragerCap):
+    """Composite cone+cap yield: the cap branch applies for P > Pc."""
+    F_cone = yield_function(pp, P, tau_II)
+    dP = P - cap.Pc
+    F_cap = jnp.sqrt((dP / cap.a) ** 2 + (tau_II / cap.b) ** 2) - 1.0
+    return jnp.where(dP > 0.0, F_cap, F_cone)
