@@ -21,7 +21,8 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["Decomp2D", "block_staggered", "unblock_staggered"]
+__all__ = ["Decomp2D", "Decomp3D", "block_staggered", "unblock_staggered",
+           "block_staggered_nd", "unblock_staggered_nd"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,4 +92,70 @@ def unblock_staggered(B: np.ndarray, decomp: Decomp2D, extra: Tuple[int, int]) -
         for ry in range(decomp.py):
             tile = B[rx * sx : (rx + 1) * sx, ry * sy : (ry + 1) * sy]
             out[rx * nxl : rx * nxl + sx, ry * nyl : ry * nyl + sy] = tile
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class Decomp3D:
+    """3D decomposition of ``(nx_g, ny_g, nz_g)`` cells over ``(px, py, pz)``."""
+
+    px: int
+    py: int
+    pz: int
+    nxl: int
+    nyl: int
+    nzl: int
+
+    @classmethod
+    def make(cls, ni_global, mesh_shape) -> "Decomp3D":
+        if any(n % p for n, p in zip(ni_global, mesh_shape)):
+            raise ValueError(
+                f"global grid {ni_global} not divisible by mesh {mesh_shape}"
+            )
+        (nx, ny, nz), (px, py, pz) = ni_global, mesh_shape
+        return cls(px=px, py=py, pz=pz, nxl=nx // px, nyl=ny // py, nzl=nz // pz)
+
+    @property
+    def ni_global(self):
+        return (self.px * self.nxl, self.py * self.nyl, self.pz * self.nzl)
+
+    @property
+    def ni_local(self):
+        return (self.nxl, self.nyl, self.nzl)
+
+    @property
+    def mesh_shape(self):
+        return (self.px, self.py, self.pz)
+
+
+def block_staggered_nd(A: np.ndarray, nl, p, extra) -> np.ndarray:
+    """N-D generalization of :func:`block_staggered`: ``nl``/``p``/``extra``
+    are per-axis owned-cell counts, mesh sizes, and per-tile surpluses."""
+    ndim = A.ndim
+    s = tuple(nl[d] + extra[d] for d in range(ndim))
+    assert A.shape == tuple(p[d] * nl[d] + extra[d] for d in range(ndim)), A.shape
+    out = np.empty(tuple(p[d] * s[d] for d in range(ndim)), dtype=A.dtype)
+    for idx in np.ndindex(*p):
+        src = tuple(
+            slice(idx[d] * nl[d], idx[d] * nl[d] + s[d]) for d in range(ndim)
+        )
+        dst = tuple(
+            slice(idx[d] * s[d], (idx[d] + 1) * s[d]) for d in range(ndim)
+        )
+        out[dst] = A[src]
+    return out
+
+
+def unblock_staggered_nd(B: np.ndarray, nl, p, extra) -> np.ndarray:
+    ndim = B.ndim
+    s = tuple(nl[d] + extra[d] for d in range(ndim))
+    out = np.empty(tuple(p[d] * nl[d] + extra[d] for d in range(ndim)), dtype=B.dtype)
+    for idx in np.ndindex(*p):
+        src = tuple(
+            slice(idx[d] * s[d], (idx[d] + 1) * s[d]) for d in range(ndim)
+        )
+        dst = tuple(
+            slice(idx[d] * nl[d], idx[d] * nl[d] + s[d]) for d in range(ndim)
+        )
+        out[dst] = B[src]
     return out
