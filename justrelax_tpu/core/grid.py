@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["Geometry", "velocity_grids"]
+__all__ = ["Geometry", "NonuniformGeometry", "velocity_grids"]
 
 
 def _lazy_grid(di, ni, li, origin):
@@ -146,3 +146,99 @@ class Geometry:
     def vertices_mesh(self, indexing: str = "ij"):
         """Dense meshgrid of vertex coordinates."""
         return np.meshgrid(*self.xvi, indexing=indexing)
+
+
+@dataclasses.dataclass(frozen=True, init=False)
+class NonuniformGeometry(Geometry):
+    """A staggered grid with per-axis vector spacing (reference Grid.jl
+    nonuniform constructor, Grid.jl:69-131 + velocity_grids vector variants
+    at :272-316).
+
+    Built from per-axis VERTEX coordinate vectors. Adds the named spacing
+    families the nonuniform kernels need:
+
+    - ``di_center[d]``  (ni[d],)   : cell widths  xv[i+1] − xv[i]
+      (divergence / cell updates);
+    - ``di_vertex[d]``  (ni[d]+1,) : face spacings xc[i] − xc[i−1], clamped
+      to the edge cell width at the two boundary faces (gradients/fluxes).
+
+    ``di`` holds the MINIMUM spacing per axis (conservative CFL / PT
+    coefficients). Hash/eq include the coordinates, so each distinct grid
+    compiles its own kernel (spacings are baked in as constants).
+    """
+
+    di_center: Tuple[Tuple[float, ...], ...]
+    di_vertex: Tuple[Tuple[float, ...], ...]
+
+    def __init__(self, vertex_coords):
+        xvi = tuple(np.asarray(v, dtype=float) for v in vertex_coords)
+        ndim = len(xvi)
+        if ndim not in (2, 3):
+            raise ValueError(f"NonuniformGeometry supports 2D/3D, got {ndim}")
+        for v in xvi:
+            if v.ndim != 1 or v.size < 2 or np.any(np.diff(v) <= 0):
+                raise ValueError(
+                    "vertex coordinates must be strictly increasing 1D vectors"
+                )
+        ni = tuple(int(v.size - 1) for v in xvi)
+        origin = tuple(float(v[0]) for v in xvi)
+        li = tuple(float(v[-1] - v[0]) for v in xvi)
+        xci = tuple(0.5 * (v[1:] + v[:-1]) for v in xvi)
+        dc = tuple(np.diff(v) for v in xvi)
+        dv = tuple(
+            np.concatenate(([d[0]], np.diff(c), [d[-1]]))
+            for c, d in zip(xci, dc)
+        )
+        di_min = tuple(float(d.min()) for d in dc)
+        # ghost offsets use the edge cell widths (reference velocity_grids
+        # vector variant, Grid.jl:272-284)
+        ghosted = tuple(
+            np.concatenate(([c[0] - d[0]], c, [c[-1] + d[-1]]))
+            for c, d in zip(xci, dc)
+        )
+        xi_vel = tuple(
+            tuple(xvi[d] if d == comp else ghosted[d] for d in range(ndim))
+            for comp in range(ndim)
+        )
+        object.__setattr__(self, "ni", ni)
+        object.__setattr__(self, "li", li)
+        object.__setattr__(self, "origin", origin)
+        object.__setattr__(self, "di", di_min)
+        object.__setattr__(self, "xci", xci)
+        object.__setattr__(self, "xvi", xvi)
+        object.__setattr__(self, "xi_vel", xi_vel)
+        object.__setattr__(self, "di_center", tuple(tuple(map(float, d)) for d in dc))
+        object.__setattr__(self, "di_vertex", tuple(tuple(map(float, d)) for d in dv))
+
+    def __hash__(self):
+        return hash((self.ni, self.di_center, self.origin))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, NonuniformGeometry)
+            and self.ni == other.ni
+            and self.origin == other.origin
+            and self.di_center == other.di_center
+        )
+
+    def _bcast(self, vecs, ndim):
+        out = []
+        for d, v in enumerate(vecs):
+            shape = [1] * ndim
+            shape[d] = len(v)
+            out.append(np.asarray(v, dtype=float).reshape(shape))
+        return tuple(out)
+
+    @property
+    def inv_flux_di(self):
+        """Broadcastable 1/spacing arrays for face gradients (flux)."""
+        return tuple(
+            1.0 / a for a in self._bcast(self.di_vertex, len(self.ni))
+        )
+
+    @property
+    def inv_div_di(self):
+        """Broadcastable 1/spacing arrays for cell divergences."""
+        return tuple(
+            1.0 / a for a in self._bcast(self.di_center, len(self.ni))
+        )

@@ -39,7 +39,22 @@ def _circle_phase_ratios(xs, ys, origin, radius):
     return ratios
 
 
-def run(n=32, nt=10, eps_bg=1.0, dtype=None):
+def run(n=32, nt=10, eps_bg=1.0, dtype=None, displacement_driven=False,
+        dilation_angle=0.0):
+    """``displacement_driven=True`` reproduces the strain-increment variant
+    (reference ShearBand2D_strain_increment.jl): the boundary forcing is set
+    as a displacement increment U = V·dt under
+    ``DisplacementBoundaryConditions`` and converted at solve entry — with a
+    fixed dt the two formulations are algebraically identical (see
+    ops/displacement.py). ``dilation_angle`` > 0 activates the volumetric
+    plastic path (ε_vol_pl, EVol_pl) exercised by the reference DPCap test
+    (test_shearband2D_DPCap.jl:186-202)."""
+    from justrelax_tpu.ops.bc import DisplacementBoundaryConditions
+    from justrelax_tpu.ops.displacement import (
+        displacement2velocity,
+        velocity2displacement,
+    )
+
     ni = (n, n)
     geometry = Geometry(ni, (1.0, 1.0))
     xci, xvi = geometry.xci, geometry.xvi
@@ -59,7 +74,7 @@ def run(n=32, nt=10, eps_bg=1.0, dtype=None):
         is_plastic=1.0,
         C=C,
         friction_angle=phi,
-        dilation_angle=0.0,
+        dilation_angle=dilation_angle,
         eta_reg=eta_reg,
     )
     material = MaterialStack.make(
@@ -81,11 +96,19 @@ def run(n=32, nt=10, eps_bg=1.0, dtype=None):
     yv = jnp.asarray(xvi[1], dt_f)
     Vx = jnp.broadcast_to((eps_bg * xv)[:, None], (n + 1, n + 2))
     Vy = jnp.broadcast_to((-eps_bg * yv)[None, :], (n + 2, n + 1))
-    flow_bc = VelocityBoundaryConditions(
-        free_slip=Faces(left=True, right=True, top=True, bot=True)
-    )
-    Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
-    stokes = stokes.replace(V=stokes.V.replace(Vx=Vx, Vy=Vy))
+    if displacement_driven:
+        flow_bc = DisplacementBoundaryConditions(
+            free_slip=Faces(left=True, right=True, top=True, bot=True)
+        )
+        Ux, Uy = flow_bcs((Vx * dt, Vy * dt), flow_bc)
+        stokes = stokes.replace(U=stokes.U.replace(Ux=Ux, Uy=Uy))
+        stokes = displacement2velocity(stokes, dt, flow_bc)
+    else:
+        flow_bc = VelocityBoundaryConditions(
+            free_slip=Faces(left=True, right=True, top=True, bot=True)
+        )
+        Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
+        stokes = stokes.replace(V=stokes.V.replace(Vx=Vx, Vy=Vy))
 
     t = 0.0
     tau_max_hist, sol_hist, tt = [], [], []
@@ -103,6 +126,8 @@ def run(n=32, nt=10, eps_bg=1.0, dtype=None):
             iter_max=50_000,
             nout=100,
         )
+        if displacement_driven:
+            stokes = velocity2displacement(stokes, dt)
         tau_max_hist.append(float(stokes.tau.xx.max()))
         t += dt
         sol_hist.append(2.0 * eps_bg * eta0 * (1.0 - math.exp(-G0 * t / eta0)))

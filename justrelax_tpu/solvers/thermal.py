@@ -64,7 +64,8 @@ def _solve_loop(
     phase_ratios_faces,
     dirichlet,
     bcs,
-    inv_di,
+    inv_flux_di,
+    inv_div_di,
     inv_dt,
     eps,
     nout,
@@ -90,10 +91,10 @@ def _solve_loop(
     def one_iteration(_, carry):
         T, q, q2 = carry
         q, q2 = kernels.compute_flux(
-            q, q2, T, inv_di, theta_r_dtau, bcs.constant_flux, **flux_kwargs
+            q, q2, T, inv_flux_di, theta_r_dtau, bcs.constant_flux, **flux_kwargs
         )
         T = kernels.update_T(
-            T, Told, q, H, shear_heating, inv_dt, inv_di, dtau_rho, **cell_kwargs
+            T, Told, q, H, shear_heating, inv_dt, inv_div_di, dtau_rho, **cell_kwargs
         )
         T = thermal_bcs(T, bcs)
         if halo_exchange is not None:
@@ -106,7 +107,7 @@ def _solve_loop(
     def body(c: _Carry):
         T, q, q2 = lax.fori_loop(0, nout, one_iteration, (c.T, c.q, c.q2))
         res = kernels.check_res(
-            T, Told, q2, H, shear_heating, inv_dt, inv_di, **cell_kwargs
+            T, Told, q2, H, shear_heating, inv_dt, inv_div_di, **cell_kwargs
         )
         if reduce_norm is not None:
             err = reduce_norm(res)
@@ -167,7 +168,11 @@ def heatdiffusion_PT(
     a :class:`ThermalSolveInfo`.
     """
     ndim = thermal.T.ndim
-    inv_di = tuple(1.0 / d for d in geometry.di)
+    if hasattr(geometry, "inv_flux_di"):  # nonuniform vector-spacing grid
+        inv_flux_di = tuple(jnp.asarray(a) for a in geometry.inv_flux_di)
+        inv_div_di = tuple(jnp.asarray(a) for a in geometry.inv_div_di)
+    else:
+        inv_flux_di = inv_div_di = tuple(1.0 / d for d in geometry.di)
     inv_dt = 1.0 / dt
     nout = int(nout)
     max_chunks = max(1, int(math.ceil(iter_max / nout)))
@@ -194,7 +199,8 @@ def heatdiffusion_PT(
         phase_ratios_faces,
         dirichlet,
         thermal_bc,
-        inv_di,
+        inv_flux_di,
+        inv_div_di,
         inv_dt,
         pt_thermal.eps,
         nout,
@@ -210,7 +216,7 @@ def heatdiffusion_PT(
         thermal.H,
         thermal.shear_heating,
         inv_dt,
-        inv_di,
+        inv_div_di,
         rho_Cp=rho_Cp,
         material=material,
         P=P,
