@@ -17,7 +17,12 @@ from justrelax_tpu.rheology.materials import get_shear_modulus
 
 Array = Any
 
-__all__ = ["compute_shear_heating", "adiabatic_heating"]
+__all__ = [
+    "compute_shear_heating",
+    "compute_shear_heating_3d",
+    "shear_components_to_centers_3d",
+    "adiabatic_heating",
+]
 
 
 def compute_shear_heating(
@@ -48,3 +53,30 @@ def adiabatic_heating(alpha, T_in, Vx, Vy, P, rho_gy, inv_di):
     Vx_c = 0.5 * (Vx[:-1, 1:-1] + Vx[1:, 1:-1])
     Vy_c = 0.5 * (Vy[1:-1, :-1] + Vy[1:-1, 1:])
     return alpha * (Vx_c * dPdx + Vy_c * dPdy)
+
+
+def compute_shear_heating_3d(
+    tau, tau_o, eps, material, dt, phase_ratios=None,
+):
+    """H_s at cell centers, 3D (reference compute_shear_heating! 3D form).
+
+    ``tau``/``tau_o`` are center 6-tuples (xx, yy, zz, yz, xz, xy) — shear
+    slots already averaged to centers; ``eps`` likewise. H = τ:(ε − ε_el)
+    with ε_el = ½·(τ − τ_o)/(G dt), clamped at 0 like the 2D form.
+    """
+    G = get_shear_modulus(material, phase_ratios)
+    _Gdt = 1.0 / (G * dt)
+    H = 0.0
+    for k in range(6):
+        e_el = 0.5 * (tau[k] - tau_o[k]) * _Gdt
+        w = 1.0 if k < 3 else 2.0
+        H = H + w * tau[k] * (eps[k] - e_el)
+    return jnp.maximum(H, 0.0)
+
+
+def shear_components_to_centers_3d(yz, xz, xy):
+    """Average the three edge shear families onto cell centers."""
+    yz_c = 0.25 * (yz[:, :-1, :-1] + yz[:, 1:, :-1] + yz[:, :-1, 1:] + yz[:, 1:, 1:])
+    xz_c = 0.25 * (xz[:-1, :, :-1] + xz[1:, :, :-1] + xz[:-1, :, 1:] + xz[1:, :, 1:])
+    xy_c = 0.25 * (xy[:-1, :-1, :] + xy[1:, :-1, :] + xy[:-1, 1:, :] + xy[1:, 1:, :])
+    return yz_c, xz_c, xy_c
