@@ -40,6 +40,8 @@ __all__ = [
     "compute_radioactive_heating",
     "get_shear_modulus",
     "get_bulk_modulus",
+    "CREEP_PRESETS",
+    "creep_preset",
 ]
 
 _INF = float("inf")
@@ -64,13 +66,19 @@ class Material:
     Kb: Array = _INF
     # linear viscous creep
     eta0: Array = 1.0
-    # power-law (dislocation) creep:  η_eff = A^(-1/n) εII^(1/n - 1) exp(E/(nRT))
+    # power-law (dislocation) creep:
+    #   η_eff = ½ A^(-1/n) εII^(1/n − 1) exp((E + P·V)/(nRT))
     disl_A: Array = 0.0  # 0 disables
     disl_n: Array = 1.0
     disl_E: Array = 0.0
-    # diffusion creep
+    disl_V: Array = 0.0  # activation volume [m³/mol]
+    # diffusion creep (linear, grain-size sensitive):
+    #   η_eff = ½ A⁻¹ d^m exp((E + P·V)/(RT))
     diff_A: Array = 0.0  # 0 disables
     diff_E: Array = 0.0
+    diff_V: Array = 0.0
+    diff_m: Array = 0.0  # grain-size exponent
+    grain_size: Array = 1.0e-3  # d [m]
     # Drucker-Prager plasticity (is_plastic=1 enables yielding for the phase)
     is_plastic: Array = 0.0
     C: Array = 0.0  # cohesion
@@ -200,3 +208,49 @@ def get_bulk_modulus(material, phase_ratios=None) -> Array:
     m = _as_stack(material).params
     Kb = jnp.where((m.Kb == 0) | jnp.isnan(m.Kb), _INF, m.Kb)
     return _phase_average_inf_safe(Kb, phase_ratios)
+
+
+# --- named creep-law presets -------------------------------------------------
+# Hirth & Kohlstedt (2003), "Rheology of the upper mantle and the mantle
+# wedge: a view from the experimentalists", as used by the reference's
+# subduction miniapps via GeoParams (Dislocation.wet_olivine1_Hirth_2003 /
+# Diffusion.wet_olivine_Hirth_2003). Published values are MPa- and
+# micrometer-based; here converted to SI (Pa, m): A_Pa = A_MPa·1e-6ⁿ·(1e-6)^m.
+# Wet laws fold the water-content factor C_OH^r at C_OH = 1000 ppm H/Si into
+# A (this framework does not carry a separate fugacity field yet). Exact
+# GeoParams database parity to be pinned from source next round.
+CREEP_PRESETS = {
+    "dry_olivine_disl_Hirth_2003": dict(
+        disl_A=1.1e5 * 1.0e-6**3.5, disl_n=3.5, disl_E=530.0e3, disl_V=14.0e-6,
+    ),
+    "wet_olivine_disl_Hirth_2003": dict(
+        # A = 1600 MPa^-3.5 s^-1 · C_OH^1.2 with C_OH = 1000
+        disl_A=1600.0 * 1000.0**1.2 * 1.0e-6**3.5,
+        disl_n=3.5, disl_E=520.0e3, disl_V=22.0e-6,
+    ),
+    "dry_olivine_diff_Hirth_2003": dict(
+        # A = 1.5e9 MPa^-1 um^3 s^-1, m = 3
+        diff_A=1.5e9 * 1.0e-6 * (1.0e-6) ** 3, diff_m=3.0,
+        diff_E=375.0e3, diff_V=6.0e-6,
+    ),
+    "wet_olivine_diff_Hirth_2003": dict(
+        # A = 2.5e7 MPa^-1 um^3 s^-1 · C_OH^1.0 with C_OH = 1000
+        diff_A=2.5e7 * 1000.0 * 1.0e-6 * (1.0e-6) ** 3, diff_m=3.0,
+        diff_E=375.0e3, diff_V=10.0e-6,
+    ),
+}
+
+
+def creep_preset(*names: str) -> dict:
+    """Merge named creep presets into Material kwargs, e.g.
+    ``Material(**creep_preset("wet_olivine_disl_Hirth_2003",
+    "wet_olivine_diff_Hirth_2003"), rho0=3.3e3, ...)`` composes dislocation +
+    diffusion creep harmonically (see rheology/viscosity.py)."""
+    out = {}
+    for n in names:
+        if n not in CREEP_PRESETS:
+            raise KeyError(
+                f"unknown creep preset {n!r}; available: {sorted(CREEP_PRESETS)}"
+            )
+        out.update(CREEP_PRESETS[n])
+    return out

@@ -39,32 +39,57 @@ def continuation_log(x_new, x_old, nu):
     return jnp.where(jnp.isnan(out), x_old, out)
 
 
-def phase_viscosity(material, invII: Array, T: Optional[Array], phase_ratios, mode: str):
+def phase_viscosity(
+    material, invII: Array, T: Optional[Array], phase_ratios, mode: str,
+    P: Optional[Array] = None,
+):
     """Effective creep viscosity per cell from the invariant ``invII``.
 
     ``mode`` is "eps" (strain-rate invariant) or "tau" (stress invariant).
+    Mechanisms per phase (GeoParams CompositeRheology serial elements):
+    dislocation creep (with activation volume P·V when ``P`` given) and
+    grain-size-sensitive diffusion creep, composed harmonically
+    (1/η = 1/η_disl + 1/η_diff); phases with neither use the linear η0.
     """
     m = _as_stack(material).params
     eta0 = _bcast(m.eta0, invII)
     A = _bcast(m.disl_A, invII)
     n = _bcast(m.disl_n, invII)
     E = _bcast(m.disl_E, invII)
-    has_pl_creep = A > 0
-    A_safe = jnp.where(has_pl_creep, A, 1.0)
+    V = _bcast(m.disl_V, invII)
+    has_disl = A > 0
+    A_safe = jnp.where(has_disl, A, 1.0)
     inv_safe = jnp.maximum(invII[..., None], 1e-300)
+    PV = 0.0 if P is None else P[..., None] * V
+    if T is None:
+        iRT = None
+    else:
+        iRT = 1.0 / (R_GAS * jnp.maximum(T[..., None], 1e-30))
     if mode == "eps":
-        if T is None:
-            expo = 1.0
-        else:
-            expo = jnp.exp(E / (n * R_GAS * jnp.maximum(T[..., None], 1e-30)))
+        expo = 1.0 if iRT is None else jnp.exp((E + PV) * iRT / n)
         eta_disl = 0.5 * A_safe ** (-1.0 / n) * inv_safe ** (1.0 / n - 1.0) * expo
     else:
-        if T is None:
-            expo = 1.0
-        else:
-            expo = jnp.exp(E / (R_GAS * jnp.maximum(T[..., None], 1e-30)))
+        expo = 1.0 if iRT is None else jnp.exp((E + PV) * iRT)
         eta_disl = 0.5 / A_safe * inv_safe ** (1.0 - n) * expo
-    eta_p = jnp.where(has_pl_creep, eta_disl, eta0)
+
+    # diffusion creep: linear in stress, same form for either invariant
+    Ad = _bcast(m.diff_A, invII)
+    Ed = _bcast(m.diff_E, invII)
+    Vd = _bcast(m.diff_V, invII)
+    md = _bcast(m.diff_m, invII)
+    d = _bcast(m.grain_size, invII)
+    has_diff = Ad > 0
+    Ad_safe = jnp.where(has_diff, Ad, 1.0)
+    PVd = 0.0 if P is None else P[..., None] * Vd
+    expo_d = 1.0 if iRT is None else jnp.exp((Ed + PVd) * iRT)
+    eta_diff = 0.5 / Ad_safe * d**md * expo_d
+
+    inv_eta = (
+        jnp.where(has_disl, 1.0 / eta_disl, 0.0)
+        + jnp.where(has_diff, 1.0 / eta_diff, 0.0)
+    )
+    any_creep = has_disl | has_diff
+    eta_p = jnp.where(any_creep, 1.0 / jnp.maximum(inv_eta, 1e-300), eta0)
     return phase_average(eta_p, phase_ratios)
 
 
