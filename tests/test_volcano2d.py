@@ -1,0 +1,31 @@
+"""Volcano2D / Caldera coupled model (reference test_Volcano2D.jl:382-401:
+converged residual < 1e-4 at 16x8, 2 steps)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_volcano2d_coupled():
+    from justrelax_tpu.models.volcano2d import run
+
+    stokes, thermal, particles, chain, phi_m, info = run(nx=16, ny=8, nt=2)
+    # reference oracle
+    assert float(info.err) < 1.0e-4
+    assert int(info.iters) < 100_000
+
+    Vy = np.asarray(stokes.V.Vy)
+    assert np.isfinite(Vy).all()
+    # topography (marker chain) stays bounded and single-valued
+    y = np.asarray(chain.y)
+    assert np.isfinite(y).all()
+    assert np.abs(y).max() < 2.0e3  # < 2 km deflection after 2 steps
+    # melt present in the chamber cells
+    assert float(np.asarray(phi_m).max()) > 1.0e-3
+    # temperatures stay physical
+    T = np.asarray(thermal.T)
+    assert T.min() > 200.0 and T.max() < 1800.0
+    # particles stayed in-domain and active
+    assert int(np.asarray(particles.active).sum()) > 0
+    px = np.asarray(particles.px)[np.asarray(particles.active)]
+    assert px.min() >= -1.0 and px.max() <= 30.0e3 + 1.0
