@@ -213,6 +213,7 @@ class _DyrelFields(NamedTuple):
     static_argnames=(
         "geometry", "flow_bc", "iter_max", "total_iter_max", "nout",
         "max_ph", "gfact", "CFL", "c_fact", "eps", "lambda_relax",
+        "linear_viscosity", "viscosity_relaxation", "viscosity_cutoff",
     ),
 )
 def solve_dyrel(
@@ -234,9 +235,19 @@ def solve_dyrel(
     rel_drop: float = 1.0e-2,
     lambda_relax: float = 1.0,
     max_ph: int = 1000,
+    linear_viscosity: bool = True,
+    viscosity_relaxation: float = 1.0e-2,
+    viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
+    T: Optional[Array] = None,
 ) -> Tuple[StokesState, StokesSolveInfo]:
-    """Linear-viscosity DYREL solve (reference ``solve_DYREL!``,
-    solver.jl:44-293, with ``linear_viscosity=true``)."""
+    """DYREL solve (reference ``solve_DYREL!``, solver.jl:44-293).
+
+    With ``linear_viscosity=False`` the creep viscosities η/ηv are refreshed
+    from the freshly-computed stress every iteration (reference fused
+    compute_stress_viscosity_DRYEL!, stress_kernels.jl:95-135) and the
+    Gershgorin bounds / damping matrices are re-evaluated at every residual
+    check (solver.jl:254).
+    """
     nx, ny = stokes.P.shape
     dtype = stokes.P.dtype
     di = geometry.di
@@ -277,19 +288,33 @@ def solve_dyrel(
         RP = -div - (P - P0) / etab + Q / dt
         return exx, eyy, exy, RP
 
-    def stress_pass(exx, eyy, exy, P, lam, lam_v):
+    def stress_pass(exx, eyy, exy, P, lam, lam_v, eta_c_, eta_v_):
         # vertex pass (writes vertex stresses + λv + ε_pl.xy)
         eps_v = (_clamped_av(exx), _clamped_av(eyy), exy)
         P_v = _clamped_av(P)
         out_v = _local_stress(
-            eps_v, to_v, eta_v, P_v, lam_v, lambda_relax, material, pr_vertex, dt, EII_v
+            eps_v, to_v, eta_v_, P_v, lam_v, lambda_relax, material, pr_vertex, dt, EII_v
         )
         # center pass
         eps_c = (exx, eyy, av_a(exy))
         out_c = _local_stress(
-            eps_c, to_c, eta, P, lam, lambda_relax, material, pr_center, dt, EII
+            eps_c, to_c, eta_c_, P, lam, lambda_relax, material, pr_center, dt, EII
         )
         return out_c, out_v
+
+    T_v = None if T is None else _clamped_av(T)
+
+    def refresh_viscosity(eta_c_, eta_v_, out_c, out_v):
+        """τII-based creep refresh (reference _update_τII_viscosity)."""
+        from justrelax_tpu.rheology.viscosity import compute_viscosity_fields
+
+        return compute_viscosity_fields(
+            eta_c_, eta_v_, material,
+            out_c[0], out_c[1], out_c[2],
+            out_v[0], out_v[1], out_v[2],
+            pr_center, pr_vertex, T=T, T_v=T_v, mode="tau",
+            relaxation=viscosity_relaxation, cutoff=viscosity_cutoff,
+        )
 
     def momentum_residual(P, theta_c, tau_c, tau_v):
         txx, tyy, _ = tau_c
@@ -329,6 +354,12 @@ def solve_dyrel(
         itg: Array
         state_c: Tuple  # last center stress outputs
         state_v: Tuple
+        eta: Array
+        eta_v: Array
+        Dx_f: Array
+        Dy_f: Array
+        lmx: Array
+        lmy: Array
 
     class Outer(NamedTuple):
         inner: Inner
@@ -343,11 +374,15 @@ def solve_dyrel(
 
     def dr_iteration(c: Inner, P, dtx, ax, bx, dty, ay, by):
         exx, eyy, exy, RP = strain_RP(c.Vx, c.Vy, P)
-        out_c, out_v = stress_pass(exx, eyy, exy, P, c.lam, c.lam_v)
+        out_c, out_v = stress_pass(exx, eyy, exy, P, c.lam, c.lam_v, c.eta, c.eta_v)
+        if linear_viscosity:
+            eta_n, eta_vn = c.eta, c.eta_v
+        else:
+            eta_n, eta_vn = refresh_viscosity(c.eta, c.eta_v, out_c, out_v)
         theta_c = gamma_eff * RP + out_c[8]  # γ·RP + ΔPψ
         Rx, Ry = momentum_residual(P, theta_c, out_c[:3], out_v[:3])
-        Rx = Rx / Dx
-        Ry = Ry / Dy
+        Rx = Rx / c.Dx_f
+        Ry = Ry / c.Dy_f
         dVx = ax * c.dVx + Rx
         dVy = ay * c.dVy + Ry
         Vx = c.Vx.at[1:-1, 1:-1].add(dVx * bx * dtx)
@@ -356,6 +391,7 @@ def solve_dyrel(
         return c._replace(
             Vx=Vx, Vy=Vy, lam=out_c[7], lam_v=out_v[7], dVx=dVx, dVy=dVy,
             Rx=Rx, Ry=Ry, state_c=out_c, state_v=out_v,
+            eta=eta_n, eta_v=eta_vn,
         )
 
     nout_i = int(nout)
@@ -374,8 +410,14 @@ def solve_dyrel(
                 return dr_iteration(cc, P, dtx, ax, bx, dty, ay, by)
 
             c = lax.fori_loop(0, nout_i, one, c)
-            errVx = _norm(Dx * c.Rx) / math.sqrt(v_dofs[0])
-            errVy = _norm(Dy * c.Ry) / math.sqrt(v_dofs[1])
+            if not linear_viscosity:
+                Dx2, Dy2, lmx2, lmy2 = gershgorin_schur_2d(
+                    c.eta, c.eta_v, gamma_eff, pr_center, pr_vertex, material,
+                    di, dt,
+                )
+                c = c._replace(Dx_f=Dx2, Dy_f=Dy2, lmx=lmx2, lmy=lmy2)
+            errVx = _norm(c.Dx_f * c.Rx) / math.sqrt(v_dofs[0])
+            errVy = _norm(c.Dy_f * c.Ry) / math.sqrt(v_dofs[1])
             first = c.itg == 0  # reference: errV00 captured once per solve
             errV00x = jnp.where(first, errVx, c.errV00x)
             errV00y = jnp.where(first, errVy, c.errV00y)
@@ -387,16 +429,16 @@ def solve_dyrel(
             den = jnp.sum(dVx_full**2) + jnp.sum(dVy_full**2)
             lmin = jnp.abs(num) / jnp.where(den == 0, 1.0, den)
             cV = 2.0 * jnp.sqrt(lmin) * c_fact
-            dtx2, ax2, bx2 = _alpha_beta(lmax_x, cV, CFL)
-            dty2, ay2, by2 = _alpha_beta(lmax_y, cV, CFL)
+            dtx2, ax2, bx2 = _alpha_beta(c.lmx, cV, CFL)
+            dty2, ay2, by2 = _alpha_beta(c.lmy, cV, CFL)
             c = c._replace(
                 err=err, errV00x=errV00x, errV00y=errV00y,
                 it=c.it + nout_i, itg=c.itg + nout_i, cV=cV,
             )
             return (c, (dtx2, ax2, bx2, dty2, ay2, by2))
 
-        dtx, ax, bx = _alpha_beta(lmax_x, inner0.cV, CFL)
-        dty, ay, by = _alpha_beta(lmax_y, inner0.cV, CFL)
+        dtx, ax, bx = _alpha_beta(inner0.lmx, inner0.cV, CFL)
+        dty, ay, by = _alpha_beta(inner0.lmy, inner0.cV, CFL)
         init = (inner0._replace(it=jnp.asarray(0, jnp.int32), err=jnp.asarray(jnp.inf, dtype)),
                 (dtx, ax, bx, dty, ay, by))
         c, _ = lax.while_loop(cond, body, init)
@@ -409,7 +451,7 @@ def solve_dyrel(
         c = o.inner
         # PH residual check
         exx, eyy, exy, RP = strain_RP(c.Vx, c.Vy, o.P)
-        out_c, out_v = stress_pass(exx, eyy, exy, o.P, c.lam, c.lam_v)
+        out_c, out_v = stress_pass(exx, eyy, exy, o.P, c.lam, c.lam_v, c.eta, c.eta_v)
         Rx, Ry = momentum_residual(o.P, out_c[8], out_c[:3], out_v[:3])
         errVx = _norm(Rx) / math.sqrt(v_dofs[0])
         errVy = _norm(Ry) / math.sqrt(v_dofs[1])
@@ -455,6 +497,7 @@ def solve_dyrel(
         errV00x=jnp.asarray(1.0, dtype), errV00y=jnp.asarray(1.0, dtype),
         it=jnp.asarray(0, jnp.int32), itg=jnp.asarray(0, jnp.int32),
         state_c=zero_out_c, state_v=zero_out_v,
+        eta=eta, eta_v=eta_v, Dx_f=Dx, Dy_f=Dy, lmx=lmax_x, lmy=lmax_y,
     )
     o = Outer(
         inner=inner0, P=stokes.P,
@@ -468,7 +511,7 @@ def solve_dyrel(
     # final state assembly
     c = o.inner
     exx, eyy, exy, RP = strain_RP(c.Vx, c.Vy, o.P)
-    out_c, out_v = stress_pass(exx, eyy, exy, o.P, c.lam, c.lam_v)
+    out_c, out_v = stress_pass(exx, eyy, exy, o.P, c.lam, c.lam_v, c.eta, c.eta_v)
     P_final = o.P + out_c[8]  # absorb ΔPψ (solver.jl:269)
     grad_V = (c.Vx[1:, 1:-1] - c.Vx[:-1, 1:-1]) * inv_dx + (
         c.Vy[1:-1, 1:] - c.Vy[1:-1, :-1]
@@ -506,7 +549,9 @@ def solve_dyrel(
         EII_pl=EII_new, EVol_pl=stokes.EVol_pl + dt * out_c[10],
         eps_vol_pl=out_c[10],
         lam=c.lam, lam_v=c.lam_v, dP_psi=out_c[8],
-        viscosity=stokes.viscosity.replace(eta_vep=out_c[9]),
+        viscosity=stokes.viscosity.replace(
+            eta=c.eta, eta_v=c.eta_v, eta_vep=out_c[9]
+        ),
         R=stokes.R.replace(RP=RP, Rx=c.Rx, Ry=c.Ry),
     )
     info = StokesSolveInfo(
