@@ -22,6 +22,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# NOTE: bench wall time is dominated by ONE ~5 min axon remote compile of the
+# chunk kernel (measured: calls are 0.14-0.43 s; the persistent compilation
+# cache does not capture axon-compiled executables, so it cannot help).
+
 
 def _materialize(out):
     """Force execution by pulling the first output array to the host (the
@@ -51,7 +55,10 @@ def _slope(jit1, jit2, args, repeats):
     return min(t1s), min(t2s)
 
 
-def main(nx=1024, ny=1024, nout_pair=(50, 250), repeats=8):
+def main(nx=1024, ny=1024, nout_pair=(200, 2200), repeats=4):
+    """``nout_pair`` is chosen so the slope signal (Δnout·t_iter ≈ 0.3 s)
+    dominates the axon tunnel's per-call jitter (~10-100 ms on a ~6 s
+    call)."""
     import __graft_entry__ as g
 
     dtype = jnp.float32
@@ -72,11 +79,18 @@ def main(nx=1024, ny=1024, nout_pair=(50, 250), repeats=8):
         rho_g[1],
         jnp.asarray(0.1, dtype),
     )
-    # two-point slope cancels the fixed dispatch/transfer overhead per call
+    # two-point slope cancels the fixed dispatch/transfer overhead per call;
+    # nout is a TRACED fori_loop bound so both points share one compile
     n1, n2 = nout_pair
+    step = g._step_fn(geometry, pt, bc, nout=None)
+
+    @jax.jit
+    def chunk(n, *a):
+        return step(*a, nout=n)
+
     t1, t2 = _slope(
-        jax.jit(g._step_fn(geometry, pt, bc, nout=n1)),
-        jax.jit(g._step_fn(geometry, pt, bc, nout=n2)),
+        lambda *a: chunk(jnp.asarray(n1, jnp.int32), *a),
+        lambda *a: chunk(jnp.asarray(n2, jnp.int32), *a),
         args,
         repeats,
     )
