@@ -35,6 +35,15 @@ __all__ = [
 ]
 
 
+# Spacing families (reference _di.center/_di.vertex named spacings,
+# src/grid/Grid.jl): derivatives landing at CENTERS divide by the cell width
+# (center family, inv_dx/inv_dy); derivatives landing at FACES/VERTICES
+# divide by the distance between adjacent centers (vertex family,
+# inv_dx_v/inv_dy_v). On a uniform grid both coincide, so the vertex-family
+# arguments default to the center ones; a NonuniformGeometry passes
+# broadcastable per-axis arrays for both.
+
+
 # --- divergence -------------------------------------------------------------
 def compute_grad_V(Vx, Vy, inv_dx, inv_dy):
     """∇·V at cell centers (VelocityKernels.jl:3-6)."""
@@ -44,13 +53,15 @@ def compute_grad_V(Vx, Vy, inv_dx, inv_dy):
 
 
 # --- deviatoric strain rate -------------------------------------------------
-def compute_strain_rate(grad_V, Vx, Vy, inv_dx, inv_dy):
+def compute_strain_rate(grad_V, Vx, Vy, inv_dx, inv_dy, inv_dx_v=None, inv_dy_v=None):
     """(εxx, εyy) at centers, εxy at vertices (VelocityKernels.jl:10-44)."""
+    inv_dx_v = inv_dx if inv_dx_v is None else inv_dx_v
+    inv_dy_v = inv_dy if inv_dy_v is None else inv_dy_v
     third = 1.0 / 3.0
     exx = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx - grad_V * third
     eyy = (Vy[1:-1, 1:] - Vy[1:-1, :-1]) * inv_dy - grad_V * third
     exy = 0.5 * (
-        (Vx[:, 1:] - Vx[:, :-1]) * inv_dy + (Vy[1:, :] - Vy[:-1, :]) * inv_dx
+        (Vx[:, 1:] - Vx[:, :-1]) * inv_dy_v + (Vy[1:, :] - Vy[:-1, :]) * inv_dx_v
     )
     return exx, eyy, exy
 
@@ -126,20 +137,28 @@ def compute_tau_ve(txx, tyy, txy, txx_o, tyy_o, txy_o, exx, eyy, exy, eta, G, th
 
 
 # --- velocity update --------------------------------------------------------
-def _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy):
-    """∂x momentum balance on interior Vx nodes → shape (nx-1, ny)."""
-    d_xa_t = (txx[1:, :] - txx[:-1, :]) * inv_dx
-    d_yi_t = (txy[1:-1, 1:] - txy[1:-1, :-1]) * inv_dy
-    d_xa_P = (P[1:, :] - P[:-1, :]) * inv_dx
+def _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy, inv_dx_v=None, inv_dy_c=None):
+    """∂x momentum balance on interior Vx nodes → shape (nx-1, ny).
+
+    τxx/P differences land on interior x-FACES (vertex family ``inv_dx_v``);
+    τxy differences land there too but run along y between VERTICES (center
+    family ``inv_dy_c``)."""
+    inv_dx_v = inv_dx if inv_dx_v is None else inv_dx_v
+    inv_dy_c = inv_dy if inv_dy_c is None else inv_dy_c
+    d_xa_t = (txx[1:, :] - txx[:-1, :]) * inv_dx_v
+    d_yi_t = (txy[1:-1, 1:] - txy[1:-1, :-1]) * inv_dy_c
+    d_xa_P = (P[1:, :] - P[:-1, :]) * inv_dx_v
     f = 0.5 * (rho_gx[1:, :] + rho_gx[:-1, :])
     return d_xa_t + d_yi_t - d_xa_P - f
 
 
-def _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy):
+def _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy, inv_dy_v=None, inv_dx_c=None):
     """∂y momentum balance on interior Vy nodes → shape (nx, ny-1)."""
-    d_ya_t = (tyy[:, 1:] - tyy[:, :-1]) * inv_dy
-    d_xi_t = (txy[1:, 1:-1] - txy[:-1, 1:-1]) * inv_dx
-    d_ya_P = (P[:, 1:] - P[:, :-1]) * inv_dy
+    inv_dy_v = inv_dy if inv_dy_v is None else inv_dy_v
+    inv_dx_c = inv_dx if inv_dx_c is None else inv_dx_c
+    d_ya_t = (tyy[:, 1:] - tyy[:, :-1]) * inv_dy_v
+    d_xi_t = (txy[1:, 1:-1] - txy[:-1, 1:-1]) * inv_dx_c
+    d_ya_P = (P[:, 1:] - P[:, :-1]) * inv_dy_v
     f = 0.5 * (rho_gy[:, 1:] + rho_gy[:, :-1])
     return d_ya_t + d_xi_t - d_ya_P - f
 
@@ -158,14 +177,19 @@ def compute_V(
     inv_dx,
     inv_dy,
     free_surface_dt: Optional[float] = None,
+    spacings=None,
 ):
     """Damped velocity update on interior nodes (VelocityKernels.jl:108-180).
 
     With ``free_surface_dt`` set, adds the free-surface stabilization
-    correction Vy·∂(ρg_y)/∂y·dt to the y-momentum residual.
+    correction Vy·∂(ρg_y)/∂y·dt to the y-momentum residual. ``spacings`` is
+    an optional nonuniform bundle ``(inv_dx_v, inv_dy_c, inv_dy_v,
+    inv_dx_c)`` restricted to interior faces.
     """
-    rx = _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy)
-    ry = _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy)
+    sx = (None, None) if spacings is None else spacings[:2]
+    sy = (None, None) if spacings is None else spacings[2:]
+    rx = _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy, *sx)
+    ry = _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy, *sy)
     if free_surface_dt is not None:
         ry = ry + _free_surface_correction(Vy, rho_gy, inv_dy, free_surface_dt)
     etax = 0.5 * (eta_tau[1:, :] + eta_tau[:-1, :])
@@ -184,10 +208,13 @@ def _free_surface_correction(Vy, rho_gy, inv_dy, dt):
     return Vy_in * drho * dt
 
 
-def compute_Res(P, txx, tyy, txy, rho_gx, rho_gy, inv_dx, inv_dy, Vy=None, free_surface_dt=None):
+def compute_Res(P, txx, tyy, txy, rho_gx, rho_gy, inv_dx, inv_dy, Vy=None,
+                free_surface_dt=None, spacings=None):
     """Momentum residuals Rx (nx-1, ny), Ry (nx, ny-1) (VelocityKernels.jl:246+)."""
-    Rx = _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy)
-    Ry = _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy)
+    sx = (None, None) if spacings is None else spacings[:2]
+    sy = (None, None) if spacings is None else spacings[2:]
+    Rx = _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy, *sx)
+    Ry = _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy, *sy)
     if free_surface_dt is not None:
         Ry = Ry + _free_surface_correction(Vy, rho_gy, inv_dy, free_surface_dt)
     return Rx, Ry

@@ -102,7 +102,23 @@ def solve_ve(
     PressureKernels.jl:197-206).
     """
     nx, ny = stokes.P.shape
-    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
+        if free_surface:
+            raise NotImplementedError("free_surface on nonuniform grids")
+        dcx = jnp.asarray(geometry.di_center[0])[:, None]
+        dcy = jnp.asarray(geometry.di_center[1])[None, :]
+        dvx = jnp.asarray(geometry.di_vertex[0])[:, None]
+        dvy = jnp.asarray(geometry.di_vertex[1])[None, :]
+        inv_dx, inv_dy = 1.0 / dcx, 1.0 / dcy  # center family (cell widths)
+        strain_v = dict(inv_dx_v=1.0 / dvx, inv_dy_v=1.0 / dvy)
+        mom_spacings = (
+            1.0 / dvx[1:-1], 1.0 / dcy,  # x momentum: vertex-x, center-y
+            1.0 / dvy[:, 1:-1], 1.0 / dcx,  # y momentum: vertex-y, center-x
+        )
+    else:
+        inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+        strain_v = {}
+        mom_spacings = None
     r, theta_dtau, etadtau = pt_stokes.r, pt_stokes.theta_dtau, pt_stokes.etadtau
     eps_rel, eps_abs = pt_stokes.eps_rel, pt_stokes.eps_abs
     nout = int(nout)
@@ -124,13 +140,15 @@ def solve_ve(
         RP, P = kernels.compute_P(
             P, P0, grad_V, Q, eta_tau, K, G, dt, r, theta_dtau, alpha_dT=alpha_dT
         )
-        exx, eyy, exy = kernels.compute_strain_rate(grad_V, Vx, Vy, inv_dx, inv_dy)
+        exx, eyy, exy = kernels.compute_strain_rate(
+            grad_V, Vx, Vy, inv_dx, inv_dy, **strain_v
+        )
         txx, tyy, txy = kernels.compute_tau_ve(
             txx, tyy, txy, txx_o, tyy_o, txy_o, exx, eyy, exy, eta, G, theta_dtau, dt
         )
         Vx, Vy = kernels.compute_V(
             Vx, Vy, P, txx, tyy, txy, etadtau, rho_gx, rho_gy, eta_tau,
-            inv_dx, inv_dy, free_surface_dt=fs_dt,
+            inv_dx, inv_dy, free_surface_dt=fs_dt, spacings=mom_spacings,
         )
         Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
         if halo_exchange is not None:
@@ -144,7 +162,7 @@ def solve_ve(
         )
         Rx, Ry = kernels.compute_Res(
             P, txx, tyy, txy, rho_gx, rho_gy, inv_dx, inv_dy,
-            Vy=Vy, free_surface_dt=fs_dt,
+            Vy=Vy, free_surface_dt=fs_dt, spacings=mom_spacings,
         )
         if reduce_norm is not None:
             nRx = reduce_norm(Rx[1:-1, 1:-1], ((nx - 2), (ny - 1)))
@@ -190,7 +208,9 @@ def solve_ve(
 
     # final diagnostics + state assembly
     grad_V = kernels.compute_grad_V(c.Vx, c.Vy, inv_dx, inv_dy)
-    exx, eyy, exy = kernels.compute_strain_rate(grad_V, c.Vx, c.Vy, inv_dx, inv_dy)
+    exx, eyy, exy = kernels.compute_strain_rate(
+        grad_V, c.Vx, c.Vy, inv_dx, inv_dy, **strain_v
+    )
     nRx, nRy, nRP, RP, Rx, Ry = residual_norms(c.Vx, c.Vy, c.P, c.txx, c.tyy, c.txy)
     txy_c = av_vertex_to_center(c.txy)
     exy_c = av_vertex_to_center(exy)
@@ -207,7 +227,10 @@ def solve_ve(
         II=kernels.tensor_invariant_2d(exx, eyy, exy_c),
     )
     omega = stokes.omega.replace(
-        xy=kernels.compute_vorticity(c.Vx, c.Vy, inv_dx, inv_dy)
+        xy=kernels.compute_vorticity(
+            c.Vx, c.Vy,
+            strain_v.get("inv_dx_v", inv_dx), strain_v.get("inv_dy_v", inv_dy),
+        )
     )
     new_stokes = stokes.replace(
         P=c.P,
