@@ -37,6 +37,7 @@ __all__ = [
     "compute_density",
     "compute_rhoCp",
     "compute_conductivity",
+    "compute_diffusivity",
     "compute_radioactive_heating",
     "get_shear_modulus",
     "get_bulk_modulus",
@@ -181,6 +182,14 @@ def compute_conductivity(material, T=None, P=None, phase_ratios=None) -> Array:
     if phase_ratios is None and T is not None:
         out = jnp.broadcast_to(out, T.shape)
     return out
+
+
+def compute_diffusivity(material, T=None, P=None, phase_ratios=None) -> Array:
+    """Thermal diffusivity κ = k/(ρ·Cp) per cell (reference
+    compute_diffusivity, src/thermal_diffusion/DiffusionPT_GeoParams.jl; same
+    single-material / phase-ratio signatures as the other helpers)."""
+    return compute_conductivity(material, T=T, P=P, phase_ratios=phase_ratios) / \
+        compute_rhoCp(material, T=T, P=P, phase_ratios=phase_ratios)
 
 
 def compute_radioactive_heating(material, phase_ratios=None) -> Array:

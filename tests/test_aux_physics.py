@@ -165,3 +165,28 @@ def test_thermal_stress_pressure_source():
                           alpha_dT=a_dT)
     # fixed point: RP = 0 → P = K·dt·α·ΔT/dt = K·α·ΔT
     np.testing.assert_allclose(np.asarray(P), 2.0 * 0.01, rtol=1e-6)
+
+
+def test_compute_diffusivity():
+    """κ = k/(ρCp) helper (reference test_rheology.jl thermal helpers)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from justrelax_tpu.rheology.materials import (
+        Material,
+        MaterialStack,
+        compute_diffusivity,
+    )
+
+    m = MaterialStack.make([
+        Material(rho0=3.0e3, Cp=1000.0, k=3.0),
+        Material(rho0=2.0e3, Cp=1000.0, k=2.0),
+    ])
+    T = jnp.full((4, 4), 0.0)  # alpha=0 → rho = rho0
+    ratios = jnp.zeros((4, 4, 2)).at[..., 0].set(1.0)
+    kappa = compute_diffusivity(m, T=T, phase_ratios=ratios)
+    np.testing.assert_allclose(np.asarray(kappa), 3.0 / (3.0e3 * 1000.0))
+    # mixed ratios: phase-averaged k over phase-averaged rhoCp
+    r2 = jnp.full((4, 4, 2), 0.5)
+    kappa2 = compute_diffusivity(m, T=T, phase_ratios=r2)
+    np.testing.assert_allclose(np.asarray(kappa2), 2.5 / (2.5e3 * 1000.0))
