@@ -20,11 +20,11 @@ from jax.sharding import PartitionSpec as P
 from justrelax_tpu.core.coeffs import PTThermalCoeffs
 from justrelax_tpu.ops.bc import Faces, TemperatureBoundaryConditions
 from justrelax_tpu.parallel import halo
-from justrelax_tpu.parallel.decomp import Decomp2D
+from justrelax_tpu.parallel.decomp import Decomp2D, Decomp3D
 
 Array = Any
 
-__all__ = ["heatdiffusion_PT_sharded"]
+__all__ = ["heatdiffusion_PT_sharded", "heatdiffusion_PT_sharded_3d"]
 
 
 def _thermal_bcs_local(T, bcs: TemperatureBoundaryConditions, fx, lx_, fy, ly_):
@@ -142,6 +142,148 @@ def heatdiffusion_PT_sharded(
         local_solve,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )
+    return fn(T_blocks, K, rho_Cp, H, theta_g, dtau_g)
+
+
+def _set_layer(T, axis, idx, vals, mask):
+    sl = [slice(None)] * T.ndim
+    sl[axis] = idx
+    return T.at[tuple(sl)].set(jnp.where(mask, vals, T[tuple(sl)]))
+
+
+def _layer(T, axis, idx):
+    sl = [slice(None)] * T.ndim
+    sl[axis] = idx
+    return T[tuple(sl)]
+
+
+def _thermal_bcs_local_3d(T, bcs: TemperatureBoundaryConditions, edges):
+    """Masked 3D scalar BCs at physical boundaries (face↔axis naming as
+    ops/bc.py: x left/right, y front/back, z top/bot with z index 0 = top...
+    thermal uses the 2D convention extended: bot = low-z, top = high-z)."""
+    cv, nf = bcs.constant_value, bcs.no_flux
+    names = (("left", "right"), ("front", "back"), ("bot", "top"))
+    for axis in range(3):
+        lo_name, hi_name = names[axis]
+        first, last = edges[axis]
+        v_lo = getattr(cv, lo_name)
+        v_hi = getattr(cv, hi_name)
+        if Faces.active(v_lo):
+            T = _set_layer(T, axis, 0, 2.0 * v_lo - _layer(T, axis, 1), first)
+        if Faces.active(v_hi):
+            T = _set_layer(T, axis, -1, 2.0 * v_hi - _layer(T, axis, -2), last)
+        if Faces.on(getattr(nf, lo_name)):
+            T = _set_layer(T, axis, 0, _layer(T, axis, 1), first)
+        if Faces.on(getattr(nf, hi_name)):
+            T = _set_layer(T, axis, -1, _layer(T, axis, -2), last)
+    return T
+
+
+def heatdiffusion_PT_sharded_3d(
+    mesh,
+    decomp: Decomp3D,
+    T_blocks: Array,  # blocked-local ghosted T container (extras (2,2,2))
+    K: Array,
+    rho_Cp: Array,
+    H: Array,
+    pt_thermal: PTThermalCoeffs,
+    thermal_bc: TemperatureBoundaryConditions,
+    dt,
+    di,
+    iter_max: int = 50_000,
+    nout: int = 1_000,
+):
+    """3D distributed twin of heatdiffusion_PT (array-property path)."""
+    nl = decomp.ni_local
+    ng = decomp.ni_global
+    inv_di = tuple(1.0 / d for d in di)
+    inv_dt = 1.0 / dt
+    nout_i = int(nout)
+    max_chunks = max(1, int(math.ceil(iter_max / nout_i)))
+    eps = pt_thermal.eps
+    inv_sqrt_n = 1.0 / math.sqrt(ng[0] * ng[1] * ng[2])
+    theta_g, dtau_g = pt_thermal.theta_r_dtau, pt_thermal.dtau_rho
+    axes3 = ("x", "y", "z")
+
+    def local_solve(T, K, rho_Cp, H, theta, dtau_rho):
+        edges = tuple(halo.axis_edges(a) for a in axes3)
+        Told = T
+
+        def face_av(A, axis):
+            E = halo.extend(A, axis, 1)
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[axis], hi[axis] = slice(None, -1), slice(1, None)
+            return 0.5 * (E[tuple(lo)] + E[tuple(hi)])
+
+        Kf = [face_av(K, a) for a in range(3)]
+        thf = [face_av(theta, a) for a in range(3)]
+
+        def grads(T):
+            return (
+                (T[1:, 1:-1, 1:-1] - T[:-1, 1:-1, 1:-1]) * inv_di[0],
+                (T[1:-1, 1:, 1:-1] - T[1:-1, :-1, 1:-1]) * inv_di[1],
+                (T[1:-1, 1:-1, 1:] - T[1:-1, 1:-1, :-1]) * inv_di[2],
+            )
+
+        def one(_, carry):
+            T, q, q2 = carry
+            g = grads(T)
+            q2n = tuple(-Kf[a] * g[a] for a in range(3))
+            qn = tuple(
+                (q[a] * thf[a] + q2n[a]) / (1.0 + thf[a]) for a in range(3)
+            )
+            divq = (
+                (qn[0][1:, :, :] - qn[0][:-1, :, :]) * inv_di[0]
+                + (qn[1][:, 1:, :] - qn[1][:, :-1, :]) * inv_di[1]
+                + (qn[2][:, :, 1:] - qn[2][:, :, :-1]) * inv_di[2]
+            )
+            inner = (slice(1, -1),) * 3
+            num = dtau_rho * (-divq + Told[inner] * rho_Cp * inv_dt + H) + T[inner]
+            den = 1.0 + dtau_rho * rho_Cp * inv_dt
+            T = T.at[inner].set(num / den)
+            T = _thermal_bcs_local_3d(T, thermal_bc, edges)
+            for a in range(3):
+                T = halo.exchange_ghosts(T, a, nl[a])
+            return (T, qn, q2n)
+
+        def cond(c):
+            _, err, chunk = c
+            return (err > eps) & (chunk < max_chunks)
+
+        def body(c):
+            state, err, chunk = c
+            state = lax.fori_loop(0, nout_i, one, state)
+            T, q, q2 = state
+            divq2 = (
+                (q2[0][1:, :, :] - q2[0][:-1, :, :]) * inv_di[0]
+                + (q2[1][:, 1:, :] - q2[1][:, :-1, :]) * inv_di[1]
+                + (q2[2][:, :, 1:] - q2[2][:, :, :-1]) * inv_di[2]
+            )
+            inner = (slice(1, -1),) * 3
+            res = -rho_Cp * (T[inner] - Told[inner]) * inv_dt - divq2 + H
+            err = jnp.sqrt(lax.psum(jnp.sum(res**2), axes3)) * inv_sqrt_n
+            return (state, err, chunk + 1)
+
+        dtype = T.dtype
+        q0 = tuple(
+            jnp.zeros(
+                tuple(nl[d] + (1 if d == a else 0) for d in range(3)), dtype
+            )
+            for a in range(3)
+        )
+        init = ((T, q0, q0), jnp.asarray(2.0 * eps, dtype), jnp.asarray(0, jnp.int32))
+        (T, *_), err, chunk = lax.while_loop(cond, body, init)
+        return T, err, chunk * nout_i
+
+    spec = P("x", "y", "z")
+    fn = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
         out_specs=(spec, P(), P()),
         check_vma=False,
     )
