@@ -80,13 +80,20 @@ def test_distributed_particles_match_serial():
     )
 
     def local_steps(px, py, active, ph, Vxl, Vyl):
+        from jax import lax
+
         from justrelax_tpu.particles.particles import Particles
 
-        p = Particles(px=px, py=py, active=active)
-        f = {"phase": ph}
-        for _ in range(3):
-            p, f = advect_move_local(p, f, Vxl, Vyl, dec, geometry.di, dt)
-        return p.px, p.py, p.active, f["phase"]
+        def body(_, c):
+            p, ph_ = c
+            p2, f2 = advect_move_local(
+                p, {"phase": ph_}, Vxl, Vyl, dec, geometry.di, dt
+            )
+            return (p2, f2["phase"])
+
+        p0 = Particles(px=px, py=py, active=active)
+        p, ph_out = lax.fori_loop(0, 3, body, (p0, ph))
+        return p.px, p.py, p.active, ph_out
 
     spec = P("x", "y")
     fn = jax.shard_map(
