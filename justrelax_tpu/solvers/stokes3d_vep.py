@@ -47,6 +47,42 @@ Array = Any
 __all__ = ["solve_vep_3d"]
 
 
+def _masked_momentum_3d(P, tau6, fx, fy, fz, inv_di, phi, vm):
+    """ϕ-weighted interior-face momentum residuals (masked MiniKernels),
+    matching solvers/stokes3d_variational.py."""
+    _dx, _dy, _dz = inv_di
+    txx, tyy, tzz, tyz, txz, txy = tau6
+    Pw = P * phi.center
+    txxw, tyyw, tzzw = txx * phi.center, tyy * phi.center, tzz * phi.center
+    tyzw, txzw, txyw = tyz * phi.yz, txz * phi.xz, txy * phi.xy
+    fxw, fyw, fzw = fx * phi.center, fy * phi.center, fz * phi.center
+    Rx = (
+        (txxw[1:, :, :] - txxw[:-1, :, :]) * _dx
+        + (txyw[1:-1, 1:, :] - txyw[1:-1, :-1, :]) * _dy
+        + (txzw[1:-1, :, 1:] - txzw[1:-1, :, :-1]) * _dz
+        - (Pw[1:, :, :] - Pw[:-1, :, :]) * _dx
+        - 0.5 * (fxw[1:, :, :] + fxw[:-1, :, :])
+    )
+    Ry = (
+        (txyw[1:, 1:-1, :] - txyw[:-1, 1:-1, :]) * _dx
+        + (tyyw[:, 1:, :] - tyyw[:, :-1, :]) * _dy
+        + (tyzw[:, 1:-1, 1:] - tyzw[:, 1:-1, :-1]) * _dz
+        - (Pw[:, 1:, :] - Pw[:, :-1, :]) * _dy
+        - 0.5 * (fyw[:, 1:, :] + fyw[:, :-1, :])
+    )
+    Rz = (
+        (txzw[1:, :, 1:-1] - txzw[:-1, :, 1:-1]) * _dx
+        + (tyzw[:, 1:, 1:-1] - tyzw[:, :-1, 1:-1]) * _dy
+        + (tzzw[:, :, 1:] - tzzw[:, :, :-1]) * _dz
+        - (Pw[:, :, 1:] - Pw[:, :, :-1]) * _dz
+        - 0.5 * (fzw[:, :, 1:] + fzw[:, :, :-1])
+    )
+    Rx = jnp.where(vm.vx[1:-1, :, :], Rx, 0.0)
+    Ry = jnp.where(vm.vy[:, 1:-1, :], Ry, 0.0)
+    Rz = jnp.where(vm.vz[:, :, 1:-1], Rz, 0.0)
+    return Rx, Ry, Rz
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -70,7 +106,14 @@ def solve_vep_3d(
     viscosity_relaxation: float = 1.0e-2,
     lambda_relaxation: float = 0.2,
     viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
+    phi=None,
 ) -> Tuple[StokesState, StokesSolveInfo]:
+    """With ``phi`` (a :class:`~justrelax_tpu.ops.rock_ratio.RockRatio3D`)
+    the solve becomes the MASKED variational VEP (reference
+    variational_stokes/Stokes3D.jl): air carries no equations, stencil
+    differences are φ-weighted, invalid faces hard-zeroed — the 3D
+    combination of solve_variational_3d's masking with the fused plastic
+    return mapping."""
     nx, ny, nz = stokes.P.shape
     inv_di = tuple(1.0 / d for d in geometry.di)
     r, theta_dtau, etadtau = pt_stokes.r, pt_stokes.theta_dtau, pt_stokes.etadtau
@@ -89,6 +132,32 @@ def solve_vep_3d(
 
     K_c = get_bulk_modulus(material, phase_ratios_center)
     G_c = get_shear_modulus(material, phase_ratios_center)
+
+    if phi is not None:
+        from justrelax_tpu.ops.rock_ratio import valid_masks_3d
+
+        vm = valid_masks_3d(phi)
+
+        def mask_c(A):
+            return jnp.where(vm.c, A, 0.0)
+
+        def mask_tau(tau_c, tau_e):
+            return (
+                tuple(jnp.where(vm.c, x, 0.0) for x in tau_c),
+                (
+                    jnp.where(vm.yz, tau_e[0], 0.0),
+                    jnp.where(vm.xz, tau_e[1], 0.0),
+                    jnp.where(vm.xy, tau_e[2], 0.0),
+                ),
+            )
+    else:
+        vm = None
+
+        def mask_c(A):
+            return A
+
+        def mask_tau(tau_c, tau_e):
+            return tau_c, tau_e
 
     def rho_g_fields(P):
         rho = compute_density(material, T=T, P=P, phase_ratios=phase_ratios_center)
@@ -136,6 +205,13 @@ def solve_vep_3d(
         exx, eyy, ezz, eyz, exz, exy = k3.compute_strain_rate_3d(
             grad_V, Vx, Vy, Vz, inv_di
         )
+        if vm is not None:
+            exx, eyy, ezz = mask_c(exx), mask_c(eyy), mask_c(ezz)
+            eyz = jnp.where(vm.yz, eyz, 0.0)
+            exz = jnp.where(vm.xz, exz, 0.0)
+            exy = jnp.where(vm.xy, exy, 0.0)
+            theta = mask_c(theta)
+            RP = mask_c(RP)
         res = update_stresses_center_edges_3d(
             (exx, eyy, ezz), (eyz, exz, exy),
             c.tau_c, c.tau_e, tau_o_c6, tau_o_e3,
@@ -144,18 +220,43 @@ def solve_vep_3d(
             lambda_relaxation, dt, theta_dtau,
         )
         eta = refresh_viscosity(c.eta, res.tau_c)
-        tau6 = (
-            res.tau_c[0], res.tau_c[1], res.tau_c[2],
-            res.tau_e[0], res.tau_e[1], res.tau_e[2],
-        )
-        Vx, Vy, Vz, _, _, _ = k3.compute_V_3d(
-            Vx, Vy, Vz, res.P_corrected, tau6, fx, fy, fz, eta_tau, etadtau,
-            inv_di,
-        )
+        tau_c_m, tau_e_m = mask_tau(res.tau_c, res.tau_e)
+        P_corr = mask_c(res.P_corrected)
+        tau6 = tau_c_m[:3] + tau_e_m
+        if vm is None:
+            Vx, Vy, Vz, _, _, _ = k3.compute_V_3d(
+                Vx, Vy, Vz, P_corr, tau6, fx, fy, fz, eta_tau, etadtau,
+                inv_di,
+            )
+        else:
+            Rx, Ry, Rz = _masked_momentum_3d(
+                P_corr, tau6, fx, fy, fz, inv_di, phi, vm
+            )
+            etax = 0.5 * (eta_tau[1:, :, :] + eta_tau[:-1, :, :])
+            etay = 0.5 * (eta_tau[:, 1:, :] + eta_tau[:, :-1, :])
+            etaz = 0.5 * (eta_tau[:, :, 1:] + eta_tau[:, :, :-1])
+            Vx = Vx.at[1:-1, 1:-1, 1:-1].add(
+                jnp.where(vm.vx[1:-1, :, :], Rx * etadtau / etax, 0.0)
+            )
+            Vy = Vy.at[1:-1, 1:-1, 1:-1].add(
+                jnp.where(vm.vy[:, 1:-1, :], Ry * etadtau / etay, 0.0)
+            )
+            Vz = Vz.at[1:-1, 1:-1, 1:-1].add(
+                jnp.where(vm.vz[:, :, 1:-1], Rz * etadtau / etaz, 0.0)
+            )
+            Vx = Vx.at[1:-1, 1:-1, 1:-1].set(
+                jnp.where(vm.vx[1:-1, :, :], Vx[1:-1, 1:-1, 1:-1], 0.0)
+            )
+            Vy = Vy.at[1:-1, 1:-1, 1:-1].set(
+                jnp.where(vm.vy[:, 1:-1, :], Vy[1:-1, 1:-1, 1:-1], 0.0)
+            )
+            Vz = Vz.at[1:-1, 1:-1, 1:-1].set(
+                jnp.where(vm.vz[:, :, 1:-1], Vz[1:-1, 1:-1, 1:-1], 0.0)
+            )
         Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), flow_bc)
         return c._replace(
-            V=(Vx, Vy, Vz), P=res.P_corrected, theta=theta,
-            tau_c=res.tau_c, tau_e=res.tau_e, eta=eta,
+            V=(Vx, Vy, Vz), P=P_corr, theta=theta,
+            tau_c=tau_c_m, tau_e=tau_e_m, eta=eta,
             lam=res.lam, lam_e=res.lam_e,
             tau_II=res.tau_II, eta_vep=res.eta_vep,
             eps_pl_c=res.eps_pl_c, eps_pl_e=res.eps_pl_e,
@@ -168,10 +269,15 @@ def solve_vep_3d(
             c.tau_c[0], c.tau_c[1], c.tau_c[2],
             c.tau_e[0], c.tau_e[1], c.tau_e[2],
         )
-        _, _, _, Rx, Ry, Rz = k3.compute_V_3d(
-            c.V[0] * 0.0, c.V[1] * 0.0, c.V[2] * 0.0, c.P, tau6, fx, fy, fz,
-            jnp.ones_like(c.P), 0.0, inv_di,
-        )
+        if vm is None:
+            _, _, _, Rx, Ry, Rz = k3.compute_V_3d(
+                c.V[0] * 0.0, c.V[1] * 0.0, c.V[2] * 0.0, c.P, tau6,
+                fx, fy, fz, jnp.ones_like(c.P), 0.0, inv_di,
+            )
+        else:
+            Rx, Ry, Rz = _masked_momentum_3d(
+                c.P, tau6, fx, fy, fz, inv_di, phi, vm
+            )
         nRx = _norm(Rx[1:-1, 1:-1, 1:-1]) / ((nx - 2) * (ny - 1) * (nz - 1))
         nRy = _norm(Ry[1:-1, 1:-1, 1:-1]) / ((nx - 1) * (ny - 2) * (nz - 1))
         nRz = _norm(Rz[1:-1, 1:-1, 1:-1]) / ((nx - 1) * (ny - 1) * (nz - 2))

@@ -151,3 +151,95 @@ def test_vep3d_weak_inclusion_localizes():
     # plastic strain above background near the inclusion
     assert EII[c, c, c - 2] > np.median(EII) or EII[c, c, c] > np.median(EII)
     assert EII.max() > 0.0
+
+
+@pytest.mark.slow
+def test_vep3d_masked_phi_one_matches_unmasked():
+    """With φ ≡ 1 the masked (variational) VEP path must reproduce the
+    unmasked solver to roundoff."""
+    from justrelax_tpu.ops.rock_ratio import update_rock_ratio_3d
+    from justrelax_tpu.rheology.phases import phase_ratios_from_field
+
+    mat = MaterialStack.make([
+        Material(G=1.0, Kb=4.0, eta0=1.0, is_plastic=1.0,
+                 C=0.8 / math.cos(math.radians(30.0)), friction_angle=30.0,
+                 eta_reg=8.0e-3),
+        Material(eta0=1.0),  # dummy "air" phase, ratio 0 everywhere
+    ])
+    n = 8
+    ni = (n, n, n)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    phases = np.zeros(ni, dtype=int)
+    pr = phase_ratios_from_field(jnp.asarray(phases), 2)
+    phi = update_rock_ratio_3d(pr, air_phase=1)
+
+    def solve(use_phi):
+        stokes = StokesState.make(ni)
+        stokes = stokes.replace(
+            viscosity=stokes.viscosity.replace(eta=jnp.ones(ni))
+        )
+        stokes, bc = _pure_shear_xz(stokes, geometry, 1.0)
+        pt = PTStokesCoeffs.make(
+            geometry.li, geometry.di, eps_rel=1.0e-8, eps_abs=1.0e-8,
+            CFL=0.9 / math.sqrt(3.1),
+        )
+        return solve_vep_3d(
+            stokes, pt, geometry, bc, mat, pr.center,
+            (pr.edge_yz, pr.edge_xz, pr.edge_xy), 0.25,
+            iter_max=2_000, iter_min=100, nout=100,
+            phi=phi if use_phi else None,
+        )
+
+    s_ref, _ = solve(False)
+    s_var, _ = solve(True)
+    np.testing.assert_allclose(
+        np.asarray(s_var.V.Vx), np.asarray(s_ref.V.Vx), atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_var.tau.II), np.asarray(s_ref.tau.II), atol=1e-13
+    )
+
+
+@pytest.mark.slow
+def test_vep3d_masked_sticky_air_plastic():
+    """Sticky air over a plastic crust under pure shear: converges, air at
+    rest, crust yields (the 3D variational-VEP combination)."""
+    from justrelax_tpu.ops.rock_ratio import update_rock_ratio_3d, valid_masks_3d
+    from justrelax_tpu.rheology.phases import phase_ratios_from_field
+
+    n = 10
+    ni = (n, n, n)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    Z = np.asarray(geometry.cell_centers_mesh()[2])
+    air = Z > 0.7
+    phases = np.where(air, 1, 0)
+    pr = phase_ratios_from_field(jnp.asarray(phases), 2)
+    phi = update_rock_ratio_3d(pr, air_phase=1)
+    mat = MaterialStack.make([
+        Material(G=1.0, Kb=4.0, eta0=1.0, is_plastic=1.0,
+                 C=0.3 / math.cos(math.radians(30.0)), friction_angle=30.0,
+                 eta_reg=8.0e-3),
+        Material(eta0=1.0e-3),  # air
+    ])
+    stokes = StokesState.make(ni)
+    eta = jnp.asarray(np.where(air, 1.0e-3, 1.0))
+    stokes = stokes.replace(viscosity=stokes.viscosity.replace(eta=eta))
+    stokes, bc = _pure_shear_xz(stokes, geometry, 1.0)
+    pt = PTStokesCoeffs.make(
+        geometry.li, geometry.di, eps_rel=1.0e-7, eps_abs=1.0e-7,
+        CFL=0.75 / math.sqrt(3.1),
+    )
+    info = None
+    for _ in range(6):
+        stokes, info = solve_vep_3d(
+            stokes, pt, geometry, bc, mat, pr.center,
+            (pr.edge_yz, pr.edge_xz, pr.edge_xy), 0.25,
+            iter_max=30_000, iter_min=100, nout=200, phi=phi,
+        )
+    assert float(info.err) < 1.0e-5
+    # plasticity active in the crust
+    assert float(jnp.max(stokes.lam)) > 0.0
+    # invalid (air) faces exactly zero
+    vm = valid_masks_3d(phi)
+    Vz = np.asarray(stokes.V.Vz)
+    assert np.abs(Vz[1:-1, 1:-1, 1:-1][~np.asarray(vm.vz[:, :, 1:-1])]).max() == 0.0
