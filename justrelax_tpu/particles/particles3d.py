@@ -27,6 +27,7 @@ __all__ = [
     "particle2centroid_3d",
     "centroid2particle_3d",
     "phase_ratios_from_particles_3d",
+    "inject_particles_3d",
 ]
 
 
@@ -279,3 +280,62 @@ def phase_ratios_from_particles_3d(
     sv = jnp.sum(vertex, axis=-1, keepdims=True)
     vertex = vertex / jnp.where(sv == 0, 1.0, sv)
     return center, vertex
+
+
+def inject_particles_3d(
+    particles: Particles3D,
+    geometry,
+    fields_from_centers: Dict[str, Array],
+    phases: Optional[int] = None,
+    phase_field: Optional[str] = "phase",
+    fields: Optional[Dict[str, Array]] = None,
+) -> Tuple[Particles3D, Dict[str, Array]]:
+    """Refill cells below ``min_xcell`` (JustPIC inject_particles_phase!,
+    3D): new particles at sub-cell lattice positions, scalars interpolated
+    from center fields, phase = dominant among the cell's survivors."""
+    fields = fields or {}
+    nx, ny, nz = particles.px.shape[:3]
+    mx = particles.max_xcell
+    dx, dy, dz = geometry.di
+    ox, oy, oz = geometry.origin
+    count = particles.count()
+    needs = count < particles.min_xcell
+
+    m = int(math.ceil(mx ** (1.0 / 3.0)))
+    sub = np.stack(
+        np.meshgrid(*(((np.arange(m) + 0.5) / m,) * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)[:mx]
+    s = jnp.asarray(sub)[None, None, None]
+    newx = ox + (jnp.arange(nx)[:, None, None, None] + s[..., 0]) * dx
+    newy = oy + (jnp.arange(ny)[None, :, None, None] + s[..., 1]) * dy
+    newz = oz + (jnp.arange(nz)[None, None, :, None] + s[..., 2]) * dz
+
+    slot_rank = jnp.cumsum(~particles.active, axis=-1)
+    to_fill = (
+        needs[..., None]
+        & ~particles.active
+        & (slot_rank <= (particles.nxcell - count)[..., None])
+    )
+    px = jnp.where(to_fill, newx, particles.px)
+    py = jnp.where(to_fill, newy, particles.py)
+    pz = jnp.where(to_fill, newz, particles.pz)
+    active = particles.active | to_fill
+    filled = particles.replace(px=px, py=py, pz=pz, active=active)
+
+    new_fields = {}
+    for k, v in fields.items():
+        if k in fields_from_centers:
+            interp = centroid2particle_3d(fields_from_centers[k], filled, geometry)
+            new_fields[k] = jnp.where(to_fill, interp, v)
+        elif k == phase_field:
+            w = jnp.where(particles.active, 1.0, 0.0)
+            nphase = phases if phases is not None else int(jnp.max(v).item()) + 1
+            counts = jnp.stack(
+                [jnp.sum(w * (jnp.round(v) == q), axis=-1) for q in range(nphase)],
+                axis=-1,
+            )
+            dominant = jnp.argmax(counts, axis=-1).astype(v.dtype)
+            new_fields[k] = jnp.where(to_fill, dominant[..., None], v)
+        else:
+            new_fields[k] = v
+    return filled, new_fields

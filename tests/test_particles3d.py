@@ -119,3 +119,29 @@ def test_phase_ratios(setup):
     # bottom cells all phase 0, top all phase 1
     np.testing.assert_allclose(np.asarray(center[:, :, 0, 0]), 1.0)
     np.testing.assert_allclose(np.asarray(center[:, :, -1, 1]), 1.0)
+
+
+def test_inject_refills_starved_cells(setup):
+    from justrelax_tpu.particles.particles3d import inject_particles_3d
+
+    geometry, p = setup
+    phase = jnp.asarray((np.asarray(p.pz) > 0.5).astype(float))
+    # starve one cell: deactivate all but 2 of its particles
+    a = np.asarray(p.active).copy()
+    a[3, 4, 2, 2:] = False
+    p = p.replace(active=jnp.asarray(a))
+    assert int(p.count()[3, 4, 2]) == 2  # below min_xcell=4
+    T = jnp.ones((8, 8, 8)) * 7.0
+    p2, f = inject_particles_3d(
+        p, geometry, {"T": T}, phases=2, fields={"phase": phase, "T": jnp.zeros_like(phase)}
+    )
+    assert int(p2.count()[3, 4, 2]) == p.nxcell  # refilled to nxcell
+    # other cells untouched
+    assert int(p2.count()[0, 0, 0]) == int(p.count()[0, 0, 0])
+    # injected particles lie inside the cell and carry interpolated T and
+    # the dominant phase (z<0.5 at k=2 → phase 0)
+    new = np.asarray(p2.active[3, 4, 2]) & ~np.asarray(p.active[3, 4, 2])
+    px = np.asarray(p2.px[3, 4, 2])[new]
+    assert ((px >= 3 * 0.125) & (px <= 4 * 0.125)).all()
+    np.testing.assert_allclose(np.asarray(f["T"][3, 4, 2])[new], 7.0)
+    np.testing.assert_allclose(np.asarray(f["phase"][3, 4, 2])[new], 0.0)
