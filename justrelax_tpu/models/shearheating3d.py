@@ -115,7 +115,7 @@ def run(nx=16, ny=16, nz=16, nt=3, rc=3.0e3, dtype=None):
     for _ in range(nt):
         T_c = thermal.T[1:-1, 1:-1, 1:-1]
         # Picard refresh: viscosity from current T and strain-rate invariant
-        for _pic in range(3):
+        for _pic in range(2):
             eta = jnp.clip(
                 phase_viscosity(material, eII, T_c, pr.center, mode="eps"),
                 *visc_cut,

@@ -12,7 +12,7 @@ def test_rising_blob3d():
 
     d_rho, eta0, R = -100.0, 1.0e21, 0.12
     stokes, particles, phase, info, zc = run(
-        n=16, nt=4, d_rho=d_rho, eta0=eta0, R=R
+        n=16, nt=3, d_rho=d_rho, eta0=eta0, R=R
     )
     assert float(info.err) < 1.0e-6
 

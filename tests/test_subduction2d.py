@@ -9,7 +9,7 @@ from justrelax_tpu.models import subduction2d
 
 @pytest.mark.slow
 def test_subduction2d_physics():
-    stokes, thermal, info, phases = subduction2d.run(nx=96, ny=32, nt=2)
+    stokes, thermal, info, phases = subduction2d.run(nx=64, ny=24, nt=2)
     h = np.asarray(info.err_history)
     valid = h[np.isfinite(h)]
     # steady convergence of a hard-contrast variational solve
