@@ -26,7 +26,29 @@ from justrelax_tpu.rheology.plasticity import plastic_params_phase, yield_functi
 
 Array = Any
 
-__all__ = ["update_stresses_center_edges_3d", "VEPStressResult3D"]
+__all__ = [
+    "update_stresses_center_edges_3d",
+    "VEPStressResult3D",
+    "StaggeredMoves",
+    "serial_moves",
+]
+
+
+class StaggeredMoves(NamedTuple):
+    """Pluggable staggered interpolation ops for the fused VEP kernel.
+
+    The kernel's math is location-agnostic; what differs between the serial
+    and the distributed (shard_map) execution is how values move between the
+    center and edge lattices — the serial version clamps indices at the
+    global domain edge, the distributed version (parallel/stokes3d_vep.py)
+    fetches neighbor-device layers with ``halo.extend`` and applies the
+    clamps only on physical-boundary devices.
+    """
+
+    center_to_edge: Any  # (A, ax0, ax1) -> edge-family array
+    harm_center_to_edge: Any
+    other_to_edge: Any  # (src_name, dst_name, A) -> dst-family array
+    edge_to_center: Any  # (A, ax0, ax1) -> center array
 
 
 class VEPStressResult3D(NamedTuple):
@@ -126,6 +148,31 @@ def _stress_increment(tau, tau_o, eta, eps, _Gdt, dtau_r):
 _EDGE_AXES = {"yz": (1, 2), "xz": (0, 2), "xy": (0, 1)}
 
 
+def serial_moves(ni) -> StaggeredMoves:
+    """The single-device clamped moves (reference av_clamped_* conventions,
+    StressKernels.jl:601-664), closed over the global center counts ``ni``."""
+
+    def other_to_edge(src_name, dst_name, A):
+        """Map shear family ``src`` onto ``dst`` edges with the reference's
+        fwd/back/idx clamped moves (av_clamped_<dst>_<axis> helpers)."""
+        sa = _EDGE_AXES[src_name]
+        da = _EDGE_AXES[dst_name]
+        shared = [a for a in sa if a in da]  # one shared staggered axis
+        src_only = [a for a in sa if a not in da][0]  # fwd (center-clamped)
+        dst_only = [a for a in da if a not in sa][0]  # back pair
+        out = _pair_fwd(A, src_only, ni[src_only])
+        out = _pair_back(out, dst_only)
+        out = _idx_clamp(out, shared[0], ni[shared[0]])
+        return out
+
+    return StaggeredMoves(
+        center_to_edge=_center_to_edge,
+        harm_center_to_edge=_harm_center_to_edge,
+        other_to_edge=other_to_edge,
+        edge_to_center=_edge_to_center,
+    )
+
+
 def update_stresses_center_edges_3d(
     eps_c3,  # (exx, eyy, ezz) centers
     eps_e3,  # (eyz, exz, exy) edges
@@ -143,22 +190,13 @@ def update_stresses_center_edges_3d(
     rel_lambda: float,
     dt,
     theta_dtau,
+    moves: StaggeredMoves | None = None,
 ) -> VEPStressResult3D:
     ni = Pr.shape
     names = ("yz", "xz", "xy")
-
-    def other_to_edge(src_name, dst_name, A):
-        """Map shear family ``src`` onto ``dst`` edges with the reference's
-        fwd/back/idx clamped moves (av_clamped_<dst>_<axis> helpers)."""
-        sa = _EDGE_AXES[src_name]
-        da = _EDGE_AXES[dst_name]
-        shared = [a for a in sa if a in da]  # one shared staggered axis
-        src_only = [a for a in sa if a not in da][0]  # fwd (center-clamped)
-        dst_only = [a for a in da if a not in sa][0]  # back pair
-        out = _pair_fwd(A, src_only, ni[src_only])
-        out = _pair_back(out, dst_only)
-        out = _idx_clamp(out, shared[0], ni[shared[0]])
-        return out
+    if moves is None:
+        moves = serial_moves(ni)
+    other_to_edge = moves.other_to_edge
 
     # ---------------- edge passes ------------------------------------------
     new_tau_e = []
@@ -167,9 +205,9 @@ def update_stresses_center_edges_3d(
     for k, name in enumerate(names):
         a, b = _EDGE_AXES[name]
         pr_e = phase_ratios_edges[k]
-        Pv = _center_to_edge(Pr, a, b)
-        EII_e = _center_to_edge(EII_pl, a, b)
-        eta_e = _harm_center_to_edge(eta, a, b)
+        Pv = moves.center_to_edge(Pr, a, b)
+        EII_e = moves.center_to_edge(EII_pl, a, b)
+        eta_e = moves.harm_center_to_edge(eta, a, b)
         ppe = plastic_params_phase(material, EII_e, pr_e)
         G_e = get_shear_modulus(material, pr_e)
         K_e = get_bulk_modulus(material, pr_e)
@@ -177,9 +215,9 @@ def update_stresses_center_edges_3d(
         dtau_re = 1.0 / (theta_dtau + eta_e * _Gedt + 1.0)
 
         # normal components interpolated from centers
-        t_n = [_center_to_edge(tau_c6[i], a, b) for i in range(3)]
-        t_no = [_center_to_edge(tau_o_c6[i], a, b) for i in range(3)]
-        e_n = [_center_to_edge(eps_c3[i], a, b) for i in range(3)]
+        t_n = [moves.center_to_edge(tau_c6[i], a, b) for i in range(3)]
+        t_no = [moves.center_to_edge(tau_o_c6[i], a, b) for i in range(3)]
+        e_n = [moves.center_to_edge(eps_c3[i], a, b) for i in range(3)]
         # this family's own shear lives here; the other two interpolate over
         t_s, t_so, e_s = {}, {}, {}
         for m, mname in enumerate(names):
@@ -231,9 +269,9 @@ def update_stresses_center_edges_3d(
     dtau_r = 1.0 / (theta_dtau + eta * _Gdt + 1.0)
 
     e_sc = (
-        _edge_to_center(eps_e3[0], 1, 2),
-        _edge_to_center(eps_e3[1], 0, 2),
-        _edge_to_center(eps_e3[2], 0, 1),
+        moves.edge_to_center(eps_e3[0], 1, 2),
+        moves.edge_to_center(eps_e3[1], 0, 2),
+        moves.edge_to_center(eps_e3[2], 0, 1),
     )
     e6c = tuple(eps_c3) + e_sc
     d6c = tuple(
