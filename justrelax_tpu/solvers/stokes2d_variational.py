@@ -67,7 +67,22 @@ def solve_variational(
     viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
 ) -> Tuple[StokesState, StokesSolveInfo]:
     nx, ny = stokes.P.shape
-    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
+        dcx = jnp.asarray(geometry.di_center[0])[:, None]
+        dcy = jnp.asarray(geometry.di_center[1])[None, :]
+        dvx = jnp.asarray(geometry.di_vertex[0])[:, None]
+        dvy = jnp.asarray(geometry.di_vertex[1])[None, :]
+        inv_dx, inv_dy = 1.0 / dcx, 1.0 / dcy  # center family (cell widths)
+        strain_v = dict(inv_dx_v=1.0 / dvx, inv_dy_v=1.0 / dvy)
+        # momentum families (reference VelocityKernels.jl:109-132):
+        # x residual: vertex-x for ∂x, center-y for ∂y; y residual mirrored
+        mom_x = (1.0 / dvx[1:-1], 1.0 / dcy)
+        mom_y = (1.0 / dvy[:, 1:-1], 1.0 / dcx)
+    else:
+        inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+        strain_v = {}
+        mom_x = (inv_dx, inv_dy)
+        mom_y = (inv_dy, inv_dx)
     r, theta_dtau, etadtau = pt_stokes.r, pt_stokes.theta_dtau, pt_stokes.etadtau
     eps_rel, eps_abs = pt_stokes.eps_rel, pt_stokes.eps_abs
     nout_i = int(nout)
@@ -91,7 +106,9 @@ def solve_variational(
     def masked_strain(Vx, Vy):
         grad_V = kernels.compute_grad_V(Vx, Vy, inv_dx, inv_dy)
         grad_V = jnp.where(vm.c, grad_V, 0.0)
-        exx, eyy, exy = kernels.compute_strain_rate(grad_V, Vx, Vy, inv_dx, inv_dy)
+        exx, eyy, exy = kernels.compute_strain_rate(
+            grad_V, Vx, Vy, inv_dx, inv_dy, **strain_v
+        )
         exx = jnp.where(vm.c, exx, 0.0)
         eyy = jnp.where(vm.c, eyy, 0.0)
         exy = jnp.where(vm.v, exy, 0.0)
@@ -105,16 +122,18 @@ def solve_variational(
         txyw = txy * phi.vertex
         gxw = rho_gx * phi.center
         gyw = rho_gy * phi.center
+        sxx, sxy = mom_x  # ∂x on x-faces (vertex-x), ∂y (center-y)
+        syy, syx = mom_y  # ∂y on y-faces (vertex-y), ∂x (center-x)
         Rx = (
-            (txxw[1:, :] - txxw[:-1, :]) * inv_dx
-            + (txyw[1:-1, 1:] - txyw[1:-1, :-1]) * inv_dy
-            - (Pw[1:, :] - Pw[:-1, :]) * inv_dx
+            (txxw[1:, :] - txxw[:-1, :]) * sxx
+            + (txyw[1:-1, 1:] - txyw[1:-1, :-1]) * sxy
+            - (Pw[1:, :] - Pw[:-1, :]) * sxx
             - 0.5 * (gxw[1:, :] + gxw[:-1, :])
         )
         Ry = (
-            (tyyw[:, 1:] - tyyw[:, :-1]) * inv_dy
-            + (txyw[1:, 1:-1] - txyw[:-1, 1:-1]) * inv_dx
-            - (Pw[:, 1:] - Pw[:, :-1]) * inv_dy
+            (tyyw[:, 1:] - tyyw[:, :-1]) * syy
+            + (txyw[1:, 1:-1] - txyw[:-1, 1:-1]) * syx
+            - (Pw[:, 1:] - Pw[:, :-1]) * syy
             - 0.5 * (gyw[:, 1:] + gyw[:, :-1])
         )
         Rx = jnp.where(vm.vx[1:-1, :], Rx, 0.0)

@@ -80,7 +80,25 @@ def solve_vep(
     viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
 ) -> Tuple[StokesState, StokesSolveInfo]:
     nx, ny = stokes.P.shape
-    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
+        # same kernel families as the VE solver (reference
+        # VelocityKernels.jl _di_center/_di_vertex variants)
+        if free_surface:
+            raise NotImplementedError("free_surface on nonuniform grids")
+        dcx = jnp.asarray(geometry.di_center[0])[:, None]
+        dcy = jnp.asarray(geometry.di_center[1])[None, :]
+        dvx = jnp.asarray(geometry.di_vertex[0])[:, None]
+        dvy = jnp.asarray(geometry.di_vertex[1])[None, :]
+        inv_dx, inv_dy = 1.0 / dcx, 1.0 / dcy  # center family (cell widths)
+        strain_v = dict(inv_dx_v=1.0 / dvx, inv_dy_v=1.0 / dvy)
+        mom_spacings = (
+            1.0 / dvx[1:-1], 1.0 / dcy,  # x momentum: vertex-x, center-y
+            1.0 / dvy[:, 1:-1], 1.0 / dcx,  # y momentum: vertex-y, center-x
+        )
+    else:
+        inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+        strain_v = {}
+        mom_spacings = None
     r, theta_dtau, etadtau = pt_stokes.r, pt_stokes.theta_dtau, pt_stokes.etadtau
     eps_rel, eps_abs = pt_stokes.eps_rel, pt_stokes.eps_abs
     nout_i = int(nout)
@@ -138,7 +156,9 @@ def solve_vep(
             c.theta, P0, grad_V, Q, eta_tau, K_c, G_c, dt, r, theta_dtau
         )
         rho_gx, rho_gy = rho_g_fields(c.P)
-        exx, eyy, exy = kernels.compute_strain_rate(grad_V, c.Vx, c.Vy, inv_dx, inv_dy)
+        exx, eyy, exy = kernels.compute_strain_rate(
+            grad_V, c.Vx, c.Vy, inv_dx, inv_dy, **strain_v
+        )
         res = update_stresses_center_vertex(
             exx, eyy, exy,
             c.txx, c.tyy, c.txy_c, c.txy_v,
@@ -160,7 +180,7 @@ def solve_vep(
         Vx, Vy = kernels.compute_V(
             c.Vx, c.Vy, res.P_corrected, res.txx, res.tyy, res.txy_v,
             etadtau, rho_gx, rho_gy, eta_tau, inv_dx, inv_dy,
-            free_surface_dt=fs_dt,
+            free_surface_dt=fs_dt, spacings=mom_spacings,
         )
         Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
         return c._replace(
@@ -176,7 +196,7 @@ def solve_vep(
         rho_gx, rho_gy = rho_g_fields(c.P)
         Rx, Ry = kernels.compute_Res(
             c.P, c.txx, c.tyy, c.txy_v, rho_gx, rho_gy, inv_dx, inv_dy,
-            Vy=c.Vy, free_surface_dt=fs_dt,
+            Vy=c.Vy, free_surface_dt=fs_dt, spacings=mom_spacings,
         )
         nRx = _norm(Rx[1:-1, 1:-1]) / math.sqrt((nx - 2) * (ny - 1))
         nRy = _norm(Ry[1:-1, 1:-1]) / math.sqrt((nx - 1) * (ny - 2))
@@ -228,9 +248,14 @@ def solve_vep(
 
     # --- post-loop diagnostics & state assembly ----------------------------
     grad_V = kernels.compute_grad_V(c.Vx, c.Vy, inv_dx, inv_dy)
-    exx, eyy, exy = kernels.compute_strain_rate(grad_V, c.Vx, c.Vy, inv_dx, inv_dy)
+    exx, eyy, exy = kernels.compute_strain_rate(
+        grad_V, c.Vx, c.Vy, inv_dx, inv_dy, **strain_v
+    )
     nRx, nRy, nRP, Rx, Ry = residual_norms(c)
-    omega_xy = kernels.compute_vorticity(c.Vx, c.Vy, inv_dx, inv_dy)
+    omega_xy = kernels.compute_vorticity(
+        c.Vx, c.Vy,
+        strain_v.get("inv_dx_v", inv_dx), strain_v.get("inv_dy_v", inv_dy),
+    )
 
     eps_pl_xx, eps_pl_yy, eps_pl_xy_v = c.eps_pl
     # shear2center + plastic strain accumulation (reference :847-856)
