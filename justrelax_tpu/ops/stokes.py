@@ -191,7 +191,10 @@ def compute_V(
     rx = _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy, *sx)
     ry = _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy, *sy)
     if free_surface_dt is not None:
-        ry = ry + _free_surface_correction(Vy, rho_gy, inv_dy, free_surface_dt)
+        # ∂ρg/∂y spans adjacent centers → same spacing family as ∂yP
+        # (reference nonuniform variant VelocityKernels.jl:157-171)
+        fs_inv_dy = inv_dy if spacings is None else spacings[2]
+        ry = ry + _free_surface_correction(Vy, rho_gy, fs_inv_dy, free_surface_dt)
     etax = 0.5 * (eta_tau[1:, :] + eta_tau[:-1, :])
     etay = 0.5 * (eta_tau[:, 1:] + eta_tau[:, :-1])
     Vx = Vx.at[1:-1, 1:-1].add(rx * etadtau / etax)
@@ -216,7 +219,8 @@ def compute_Res(P, txx, tyy, txy, rho_gx, rho_gy, inv_dx, inv_dy, Vy=None,
     Rx = _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy, *sx)
     Ry = _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy, *sy)
     if free_surface_dt is not None:
-        Ry = Ry + _free_surface_correction(Vy, rho_gy, inv_dy, free_surface_dt)
+        fs_inv_dy = inv_dy if spacings is None else spacings[2]
+        Ry = Ry + _free_surface_correction(Vy, rho_gy, fs_inv_dy, free_surface_dt)
     return Rx, Ry
 
 

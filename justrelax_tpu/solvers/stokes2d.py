@@ -103,8 +103,6 @@ def solve_ve(
     """
     nx, ny = stokes.P.shape
     if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
-        if free_surface:
-            raise NotImplementedError("free_surface on nonuniform grids")
         dcx = jnp.asarray(geometry.di_center[0])[:, None]
         dcy = jnp.asarray(geometry.di_center[1])[None, :]
         dvx = jnp.asarray(geometry.di_vertex[0])[:, None]

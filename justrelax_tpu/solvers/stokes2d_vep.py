@@ -83,8 +83,6 @@ def solve_vep(
     if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
         # same kernel families as the VE solver (reference
         # VelocityKernels.jl _di_center/_di_vertex variants)
-        if free_surface:
-            raise NotImplementedError("free_surface on nonuniform grids")
         dcx = jnp.asarray(geometry.di_center[0])[:, None]
         dcy = jnp.asarray(geometry.di_center[1])[None, :]
         dvx = jnp.asarray(geometry.di_vertex[0])[:, None]

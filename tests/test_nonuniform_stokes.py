@@ -77,18 +77,70 @@ def test_isoviscous_solcx_on_stretched_grid():
     assert e32 < 0.45 * e16  # ~4x drop for 2nd order
 
 
-def test_free_surface_on_nonuniform_raises():
-    g = NonuniformGeometry((_stretched(8, 1.0), np.linspace(0, 1, 9)))
-    with pytest.raises(NotImplementedError, match="free_surface"):
-        _ = solve_ve.__wrapped__(
-            StokesState.make(g.ni),
-            PTStokesCoeffs.make(g.li, g.di),
-            g,
-            VelocityBoundaryConditions(free_slip=Faces(left=True)),
-            (jnp.zeros(g.ni), jnp.zeros(g.ni)),
-            jnp.full(g.ni, jnp.inf), jnp.asarray(jnp.inf), jnp.inf,
-            free_surface=True,
-        )
+def _fs_solve(geometry, iter_max=40_000, nout=1_000):
+    """Free-surface-stabilized solve: layered density (sharp vertical ∂ρg/∂y
+    exercises the correction term) with a finite stabilization dt."""
+    ni = geometry.ni
+    stokes = StokesState.make(ni)
+    X, Y = geometry.cell_centers_mesh()
+    # light layer above a laterally-perturbed dense layer: flow + sharp ∂ρg/∂y
+    rho = jnp.asarray(np.where(
+        np.asarray(Y) > 0.7, 0.1,
+        1.0 + 0.3 * np.sin(np.pi * np.asarray(X)),
+    ))
+    stokes = stokes.replace(viscosity=stokes.viscosity.replace(eta=jnp.ones(ni)))
+    pt = PTStokesCoeffs.make(
+        geometry.li, geometry.di, CFL=1.0 / math.sqrt(2.1), eps_abs=1.0e-9,
+        eps_rel=1.0e-12,
+    )
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    G = jnp.full(ni, jnp.inf)
+    K = jnp.asarray(jnp.inf)
+    return solve_ve(
+        stokes, pt, geometry, bc, (jnp.zeros(ni), rho), G, K, 0.05,
+        iter_max=iter_max, nout=nout, free_surface=True,
+    )
+
+
+@pytest.mark.slow
+def test_free_surface_on_nonuniform():
+    """Free-surface stabilization on nonuniform grids (reference
+    VelocityKernels.jl:135-180 nonuniform variant): uniform-vector geometry
+    reproduces the scalar path; a stretched grid converges with the
+    correction active (Vy differs from the uncorrected solve)."""
+    s1, _ = _fs_solve(Geometry((16, 16), (1.0, 1.0)), iter_max=10_000)
+    s2, _ = _fs_solve(
+        NonuniformGeometry((np.linspace(0, 1, 17), np.linspace(0, 1, 17))),
+        iter_max=10_000,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.V.Vy), np.asarray(s1.V.Vy), atol=1e-13
+    )
+
+    g = NonuniformGeometry((_stretched(16, 1.0), _stretched(16, 1.0)))
+    s, info = _fs_solve(g)
+    assert float(info.err) < 1.0e-8
+    # correction active: differs from the same solve without free_surface
+    ni = g.ni
+    st = StokesState.make(ni)
+    X, Y = g.cell_centers_mesh()
+    rho = jnp.asarray(np.where(
+        np.asarray(Y) > 0.7, 0.1,
+        1.0 + 0.3 * np.sin(np.pi * np.asarray(X)),
+    ))
+    st = st.replace(viscosity=st.viscosity.replace(eta=jnp.ones(ni)))
+    pt = PTStokesCoeffs.make(g.li, g.di, CFL=1.0 / math.sqrt(2.1),
+                             eps_abs=1.0e-9, eps_rel=1.0e-12)
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    s0, _ = solve_ve(
+        st, pt, g, bc, (jnp.zeros(ni), rho), jnp.full(ni, jnp.inf),
+        jnp.asarray(jnp.inf), 0.05, iter_max=40_000, nout=1_000,
+    )
+    assert np.abs(np.asarray(s.V.Vy) - np.asarray(s0.V.Vy)).max() > 1e-6
 
 
 # ---------------------------------------------------------------------------
