@@ -182,3 +182,76 @@ def test_distributed_vep3d_matches_serial():
     # the distributed run also saw yield
     lam = unblock_staggered_nd(np.asarray(res.lam), nl, p, (0, 0, 0))
     assert lam.max() > 0.0
+
+
+def test_distributed_moves_match_serial_moves():
+    """Each halo-aware clamped move equals its serial twin on random global
+    fields (pinpoints a broken move; the solver parity test above only flags
+    the composition)."""
+    from jax.sharding import PartitionSpec as P
+
+    from justrelax_tpu.ops.stokes3d_vep import serial_moves
+    from justrelax_tpu.parallel.stokes3d_vep import distributed_moves
+    from justrelax_tpu.parallel import halo
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.sharding.Mesh(
+        np.array(devs[:8]).reshape(2, 2, 2), ("x", "y", "z")
+    )
+    ni = (8, 8, 8)
+    dec = Decomp3D.make(ni, (2, 2, 2))
+    nl, p = dec.ni_local, dec.mesh_shape
+    rng = np.random.default_rng(11)
+    C = rng.normal(size=ni) + 3.0  # positive for the harmonic move
+    E = {  # one array per shear-edge family
+        "yz": rng.normal(size=(ni[0], ni[1] + 1, ni[2] + 1)),
+        "xz": rng.normal(size=(ni[0] + 1, ni[1], ni[2] + 1)),
+        "xy": rng.normal(size=(ni[0] + 1, ni[1] + 1, ni[2])),
+    }
+    sm = serial_moves(ni)
+    EX = {"yz": (0, 1, 1), "xz": (1, 0, 1), "xy": (1, 1, 0)}
+
+    def B(A, ex):
+        return jnp.asarray(block_staggered_nd(np.asarray(A), nl, p, ex))
+
+    spec = P("x", "y", "z")
+
+    def run_local(fn, out_n, *blocked):
+        out_specs = (spec,) * out_n if out_n > 1 else spec
+        f = jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * len(blocked),
+                          out_specs=out_specs, check_vma=False)
+        with mesh:
+            return f(*blocked)
+
+    axes = {"yz": (1, 2), "xz": (0, 2), "xy": (0, 1)}
+    for name, (a, b) in axes.items():
+        def c2e(Cl, _a=a, _b=b):
+            m = distributed_moves(tuple(halo.axis_edges(x) for x in ("x", "y", "z")))
+            return (m.center_to_edge(Cl, _a, _b), m.harm_center_to_edge(Cl, _a, _b))
+
+        got, goth = run_local(c2e, 2, B(C, (0, 0, 0)))
+        want = np.asarray(sm.center_to_edge(jnp.asarray(C), a, b))
+        wanth = np.asarray(sm.harm_center_to_edge(jnp.asarray(C), a, b))
+        np.testing.assert_allclose(
+            unblock_staggered_nd(np.asarray(got), nl, p, EX[name]), want,
+            atol=1e-15, err_msg=f"center_to_edge {name}")
+        np.testing.assert_allclose(
+            unblock_staggered_nd(np.asarray(goth), nl, p, EX[name]), wanth,
+            atol=1e-15, err_msg=f"harm_center_to_edge {name}")
+
+    for src in axes:
+        for dst in axes:
+            if src == dst:
+                continue
+
+            def o2e(Al, _s=src, _d=dst):
+                m = distributed_moves(tuple(halo.axis_edges(x) for x in ("x", "y", "z")))
+                return m.other_to_edge(_s, _d, Al)
+
+            got = run_local(o2e, 1, B(E[src], EX[src]))
+            want = np.asarray(sm.other_to_edge(src, dst, jnp.asarray(E[src])))
+            np.testing.assert_allclose(
+                unblock_staggered_nd(np.asarray(got), nl, p, EX[dst]), want,
+                atol=1e-15, err_msg=f"other_to_edge {src}->{dst}")
