@@ -1,117 +1,151 @@
-"""Benchmark: effective memory throughput of the APT Stokes PT iteration.
+"""Benchmark + TPU validation: per-kernel-family T_eff / GUPS and on-chip
+golden assertions.
 
 The APT method is memory-bandwidth bound (Räss et al. 2022 GMD; reference
 docs/src/man/equations_APT.md:38): the per-chip figure of merit is T_eff —
 the necessary memory traffic of one fused PT iteration divided by its wall
-time — against the HBM speed-of-light, plus grid-updates/s.
+time — against the HBM speed-of-light, plus grid-updates/s. BASELINE.md
+requires this *per kernel family*; the families and their Räss-convention
+traffic accounting live in justrelax_tpu/utils/bench_kernels.py.
 
-Traffic accounting (Räss convention, f32):
-  unknowns (read+write): Vx, Vy, P, τxx, τyy, τxy            → 12·N
-  fields   (read only) : η, ητ, G, K, P0, Q, ρgx, ρgy, τ_o×3 → 11·N
-  A_eff = 23·N·4 bytes per iteration.
+In addition to timing, this runs real solves on the attached chip and asserts
+reference golden values at f32-appropriate tolerances (the round-1 VERDICT's
+"the chip has never computed a verified number" item): SolCx residual +
+diffusion2D golden midpoint T by default, elastic-buildup Maxwell curve with
+BENCH_GOLDENS=full.
 
-Prints ONE JSON line; vs_baseline = T_eff / HBM peak (v5e: 819 GB/s).
-Runs on the real TPU through the default environment (JAX_PLATFORMS=axon).
+Prints ONE JSON line. Headline metric = flagship 2D VE T_eff; per-family rows
+under "families"; golden outcomes under "tpu_goldens"; vs_baseline = T_eff /
+HBM peak (v5e: 819 GB/s).
+
+Env overrides: BENCH_FAMILIES=ve2d,vep2d,thermal2d,ve3d  BENCH_GOLDENS=
+default|full|off  BENCH_REPEATS=3
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# NOTE: bench wall time is dominated by ONE ~5 min axon remote compile of the
-# chunk kernel (measured: calls are 0.14-0.43 s; the persistent compilation
-# cache does not capture axon-compiled executables, so it cannot help).
+# NOTE (axon tunnel): block_until_ready does not actually block — force
+# materialization with np.asarray; the persistent compilation cache does not
+# capture axon executables, so each family costs one remote compile
+# (~minutes). Per-call jitter is ~10-100 ms, so the two-point slope signal is
+# auto-calibrated to ≥ 0.5 s.
+
+HBM_PEAK = 819.0  # v5e HBM GB/s
 
 
 def _materialize(out):
-    """Force execution by pulling the first output array to the host (the
-    axon relay's block_until_ready can return before execution completes).
-    The transfer cost is a fixed per-call overhead, cancelled by the
-    two-point slope below."""
-    import numpy as np
-
-    return float(np.asarray(out[0]).ravel()[0])
+    leaf = jax.tree.leaves(out)[0]
+    return float(np.asarray(leaf).ravel()[0])
 
 
-def _time_once(jitted, args):
+def _time_once(fn, n, carry, consts):
     t0 = time.perf_counter()
-    _materialize(jitted(*args))
+    _materialize(fn(jnp.asarray(n, jnp.int32), carry, consts))
     return time.perf_counter() - t0
 
 
-def _slope(jit1, jit2, args, repeats):
-    """Min-of-repeats times for the two chunk sizes, sampled interleaved so
-    tunnel/host contention hits both alike; returns (min t1, min t2)."""
-    for j in (jit1, jit2):  # compile + warmup
-        _materialize(j(*args))
+def bench_family(name, factory_kwargs=None, repeats=3):
+    from justrelax_tpu.utils import bench_kernels as bk
+
+    step, carry, consts, bytes_per_iter, n_cells = bk.FAMILIES[name](
+        **(factory_kwargs or {})
+    )
+    fn = jax.jit(step)
+    _time_once(fn, 10, carry, consts)  # compile + warmup
+
+    # calibrate iteration time, then size the slope signal to ~0.6 s
+    t_a = min(_time_once(fn, 10, carry, consts) for _ in range(2))
+    t_b = _time_once(fn, 510, carry, consts)
+    t_est = max((t_b - t_a) / 500.0, 1e-7)
+    dn = int(min(max(0.6 / t_est, 300), 100_000))
+    n1, n2 = 100, 100 + dn
+
     t1s, t2s = [], []
     for _ in range(repeats):
-        t1s.append(_time_once(jit1, args))
-        t2s.append(_time_once(jit2, args))
-    return min(t1s), min(t2s)
+        t1s.append(_time_once(fn, n1, carry, consts))
+        t2s.append(_time_once(fn, n2, carry, consts))
+    t_iter = max((min(t2s) - min(t1s)) / dn, 1e-12)
+    t_eff = bytes_per_iter / t_iter / 1e9
+    gups = n_cells / t_iter / 1e9
+    return {
+        "T_eff_GBs": round(t_eff, 2),
+        "GUPS": round(gups, 3),
+        "t_iter_us": round(t_iter * 1e6, 3),
+        "n_cells": n_cells,
+        "vs_hbm_peak": round(t_eff / HBM_PEAK, 4),
+    }
 
 
-def main(nx=1024, ny=1024, nout_pair=(200, 2200), repeats=4):
-    """``nout_pair`` is chosen so the slope signal (Δnout·t_iter ≈ 0.3 s)
-    dominates the axon tunnel's per-call jitter (~10-100 ms on a ~6 s
-    call)."""
-    import __graft_entry__ as g
+def run_goldens(level="default"):
+    """Execute small solves ON THE ATTACHED BACKEND (f32 on TPU) and check
+    reference goldens at f32-appropriate tolerances (reference f64 values:
+    test_stokes_solcx.jl:33-34, test_diffusion2D.jl:133-134,
+    test_stokes_elastic_buildup.jl)."""
+    out = {}
+    if level == "off":
+        return out
 
-    dtype = jnp.float32
-    geometry, stokes, pt, bc, rho_g, G, K = g._solcx_setup(nx, ny, dtype)
-    args = (
-        stokes.V.Vx,
-        stokes.V.Vy,
-        stokes.P,
-        stokes.tau.xx,
-        stokes.tau.yy,
-        stokes.tau.xy,
-        stokes.P0,
-        stokes.Q,
-        stokes.viscosity.eta,
-        G,
-        K,
-        rho_g[0],
-        rho_g[1],
-        jnp.asarray(0.1, dtype),
-    )
-    # two-point slope cancels the fixed dispatch/transfer overhead per call;
-    # nout is a TRACED fori_loop bound so both points share one compile
-    n1, n2 = nout_pair
-    step = g._step_fn(geometry, pt, bc, nout=None)
+    from justrelax_tpu.models import diffusion2d, solcx
 
-    @jax.jit
-    def chunk(n, *a):
-        return step(*a, nout=n)
+    _, _, info, _ = solcx.run(nx=32, ny=32, d_eta=1.0e6)
+    solcx_err = float(info.err)
+    # f64 oracle is 1e-8; f32 PT stalls at the rounding floor ~1e-6
+    out["solcx_err"] = {"value": solcx_err, "tol": 5.0e-6,
+                        "pass": bool(solcx_err < 5.0e-6)}
 
-    t1, t2 = _slope(
-        lambda *a: chunk(jnp.asarray(n1, jnp.int32), *a),
-        lambda *a: chunk(jnp.asarray(n2, jnp.int32), *a),
-        args,
-        repeats,
-    )
+    thermal, dinfo = diffusion2d.run(nx=32, ny=32)
+    T = np.asarray(thermal.T)
+    mid = float(T[T.shape[0] // 2, T.shape[1] // 2])
+    golden = 1817.9448461176817
+    out["diffusion2d_T_mid"] = {
+        "value": mid, "golden": golden, "atol": 0.5,
+        "pass": bool(abs(mid - golden) < 0.5),
+    }
 
-    n_cells = nx * ny
-    t_iter = max((t2 - t1) / (n2 - n1), 1e-12)
-    gups = n_cells / t_iter / 1e9  # giga grid-updates/s
-    a_eff = 23 * n_cells * 4  # bytes per iteration
-    t_eff = a_eff / t_iter / 1e9  # GB/s
-    hbm_peak = 819.0  # v5e HBM GB/s
-    print(
-        json.dumps(
-            {
-                "metric": "stokes2d_pt_iteration_T_eff",
-                "value": round(t_eff, 2),
-                "unit": "GB/s",
-                "vs_baseline": round(t_eff / hbm_peak, 4),
-            }
-        )
-    )
-    return t_eff, gups
+    if level == "full":
+        from justrelax_tpu.models import elastic_buildup
+
+        _, av, sol, _, _ = elastic_buildup.run(nx=32, ny=32, endtime_kyr=10.0)
+        err = float(np.mean([abs(abs(a) - s) / s for a, s in zip(av, sol)]))
+        out["elastic_buildup_rel_err"] = {
+            "value": err, "tol": 6.0e-3, "pass": bool(err <= 6.0e-3)
+        }
+    return out
+
+
+def main():
+    families = os.environ.get("BENCH_FAMILIES", "ve2d,vep2d,thermal2d,ve3d")
+    families = [f for f in families.split(",") if f]
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    golden_level = os.environ.get("BENCH_GOLDENS", "default")
+
+    results = {}
+    for fam in families:
+        results[fam] = bench_family(fam, repeats=repeats)
+
+    goldens = run_goldens(golden_level)
+
+    head = results.get("ve2d") or next(iter(results.values()))
+    payload = {
+        "metric": "stokes2d_pt_iteration_T_eff",
+        "value": head["T_eff_GBs"],
+        "unit": "GB/s",
+        "vs_baseline": head["vs_hbm_peak"],
+        "families": results,
+        "tpu_goldens": goldens,
+        "goldens_all_pass": all(g["pass"] for g in goldens.values()) if goldens else None,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(payload))
+    return payload
 
 
 if __name__ == "__main__":

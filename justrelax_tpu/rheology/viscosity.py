@@ -50,6 +50,10 @@ def phase_viscosity(
     dislocation creep (with activation volume P·V when ``P`` given) and
     grain-size-sensitive diffusion creep, composed harmonically
     (1/η = 1/η_disl + 1/η_diff); phases with neither use the linear η0.
+    Per-phase viscosities are blended HARMONICALLY over phase ratios
+    (reference Viscosity.jl compute_phase_viscosity: inv(Σ rᵢ/ηᵢ), with a
+    >0.999-dominant-phase early exit that the harmonic form reproduces
+    exactly for one-hot ratios).
     """
     m = _as_stack(material).params
     eta0 = _bcast(m.eta0, invII)
@@ -90,7 +94,20 @@ def phase_viscosity(
     )
     any_creep = has_disl | has_diff
     eta_p = jnp.where(any_creep, 1.0 / jnp.maximum(inv_eta, 1e-300), eta0)
-    return phase_average(eta_p, phase_ratios)
+
+    # harmonic phase blend with the reference's dominant-phase early exit
+    # (compute_phase_viscosity, Viscosity.jl:600-619: ratio > 0.999 returns
+    # that phase's viscosity exactly — also keeps one-hot cells bit-exact)
+    if phase_ratios is None:
+        return eta_p[..., 0]
+    harm = 1.0 / jnp.maximum(
+        jnp.sum(phase_ratios / jnp.maximum(eta_p, 1e-300), axis=-1), 1e-300
+    )
+    idx = jnp.argmax(phase_ratios, axis=-1)
+    eta_full = jnp.broadcast_to(eta_p, phase_ratios.shape)
+    eta_dom = jnp.take_along_axis(eta_full, idx[..., None], axis=-1)[..., 0]
+    dominant = jnp.max(phase_ratios, axis=-1) > 0.999
+    return jnp.where(dominant, eta_dom, harm)
 
 
 def compute_viscosity_fields(
@@ -110,6 +127,8 @@ def compute_viscosity_fields(
     mode: str = "eps",
     relaxation: float = 1.0,
     cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
+    P: Optional[Array] = None,
+    P_v: Optional[Array] = None,
 ):
     """Update (η centers, ηv vertices) from the tensor fields.
 
@@ -118,13 +137,13 @@ def compute_viscosity_fields(
     """
     eps0_c = jnp.where((xx == 0) & (yy == 0) & (xy_c == 0), jnp.finfo(xx.dtype).eps, 0.0)
     II_c = second_invariant(xx + eps0_c, yy - eps0_c, xy_c)
-    eta_new = phase_viscosity(material, II_c, T, phase_ratios_center, mode)
+    eta_new = phase_viscosity(material, II_c, T, phase_ratios_center, mode, P=P)
     eta_new = continuation_linear(eta_new, eta, relaxation)
     eta_new = jnp.clip(eta_new, cutoff[0], cutoff[1])
 
     eps0_v = jnp.where((xx_v == 0) & (yy_v == 0) & (xy_v == 0), jnp.finfo(xx.dtype).eps, 0.0)
     II_v = second_invariant(xx_v + eps0_v, yy_v - eps0_v, xy_v)
-    eta_v_new = phase_viscosity(material, II_v, T_v, phase_ratios_vertex, mode)
+    eta_v_new = phase_viscosity(material, II_v, T_v, phase_ratios_vertex, mode, P=P_v)
     eta_v_new = continuation_linear(eta_v_new, eta_v, relaxation)
     eta_v_new = jnp.clip(eta_v_new, cutoff[0], cutoff[1])
     return eta_new, eta_v_new

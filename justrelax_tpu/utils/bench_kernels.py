@@ -1,0 +1,383 @@
+"""Per-kernel-family benchmark chunk functions (T_eff / GUPS harness).
+
+The APT method is memory-bandwidth bound (Räss et al. 2022 GMD; reference
+docs/src/man/equations_APT.md:38), so the per-chip figure of merit for every
+kernel family is T_eff = A_eff / t_iter — the *necessary* memory traffic of
+one fused PT iteration over its wall time — plus grid-updates/s.
+
+Traffic accounting follows the Räss convention: arrays that change every
+iteration (the unknowns) are counted read+write (2×N), arrays only read are
+counted once (1×N); derived quantities recomputed on the fly (ητ maxloc,
+interpolations, strain rates) are NOT counted — recomputation instead of
+storage is the design, and counting it would inflate T_eff.
+
+Each family factory returns ``(step, carry, consts, bytes_per_iter, n_cells)``
+where ``step(n, carry, consts) -> carry`` advances ``n`` PT iterations with a
+*traced* trip count, so one compile serves both points of the two-point slope
+timing in bench.py (axon remote compiles are minutes; do not recompile per
+chunk size).
+
+Families (matching BASELINE.md "per kernel family" requirement):
+  ve2d      — 2D linear/VE APT Stokes iteration (SolCx config), 23·N·4 B
+  vep2d     — 2D multi-phase VEP iteration with the fused center+vertex
+              stress kernel + τII viscosity (shearband config)
+  thermal2d — 2D PT heat diffusion flux/update iteration
+  ve3d      — 3D VE APT Stokes iteration
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Array = Any
+
+__all__ = ["FAMILIES", "make_family"]
+
+
+# --------------------------------------------------------------------------
+# 2D visco-elastic (SolCx), the flagship single-kernel iteration
+# --------------------------------------------------------------------------
+def _solcx_setup(nx, ny, dtype):
+    from justrelax_tpu.core.coeffs import PTStokesCoeffs
+    from justrelax_tpu.core.grid import Geometry
+    from justrelax_tpu.core.state import StokesState
+    from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions
+
+    ni = (nx, ny)
+    geometry = Geometry(ni, (1.0, 1.0))
+    stokes = StokesState.make(ni, dtype=dtype)
+    X, Y = geometry.cell_centers_mesh()
+    eta = jnp.asarray(np.where(np.asarray(X) <= 0.5, 1.0, 1.0e3), dtype)
+    stokes = stokes.replace(viscosity=stokes.viscosity.replace(eta=eta))
+    rho_g = (
+        jnp.zeros(ni, dtype),
+        jnp.asarray(-jnp.sin(jnp.pi * Y) * jnp.cos(jnp.pi * X), dtype),
+    )
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di, CFL=1.0 / math.sqrt(2.1))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    G = jnp.full(ni, jnp.inf, dtype)
+    K = jnp.full(ni, jnp.inf, dtype)
+    return geometry, stokes, pt, bc, rho_g, G, K
+
+
+def ve2d(nx=1024, ny=1024, dtype=jnp.float32):
+    """One fused VE Stokes PT iteration, SolCx viscosity field.
+
+    Traffic: unknowns (R+W) Vx, Vy, P, τxx, τyy, τxy → 12·N; read-only
+    η, ητ, G, K, P0, Q, ρgx, ρgy, τ_o×3 → 11·N. A_eff = 23·N·4 B.
+    """
+    from justrelax_tpu.ops import stokes as kernels
+    from justrelax_tpu.ops.bc import flow_bcs
+    from justrelax_tpu.ops.stencil import maxloc
+
+    geometry, stokes, pt, bc, rho_g, G, K = _solcx_setup(nx, ny, dtype)
+    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    r, theta, etadtau = pt.r, pt.theta_dtau, pt.etadtau
+    dt = jnp.asarray(0.1, dtype)
+
+    def step(n, carry, consts):
+        P0, Q, eta, G, K, rho_gx, rho_gy = consts
+        eta_tau = maxloc(eta, window=1)
+        zeros = jnp.zeros_like(P0)
+        zeros_v = jnp.zeros((nx + 1, ny + 1), dtype)
+
+        def body(_, c):
+            Vx, Vy, P, txx, tyy, txy = c
+            grad_V = kernels.compute_grad_V(Vx, Vy, inv_dx, inv_dy)
+            RP, P = kernels.compute_P(P, P0, grad_V, Q, eta_tau, K, G, dt, r, theta)
+            exx, eyy, exy = kernels.compute_strain_rate(grad_V, Vx, Vy, inv_dx, inv_dy)
+            txx, tyy, txy = kernels.compute_tau_ve(
+                txx, tyy, txy, zeros, zeros, zeros_v, exx, eyy, exy, eta, G, theta, dt
+            )
+            Vx, Vy = kernels.compute_V(
+                Vx, Vy, P, txx, tyy, txy, etadtau, rho_gx, rho_gy, eta_tau,
+                inv_dx, inv_dy,
+            )
+            Vx, Vy = flow_bcs((Vx, Vy), bc)
+            return (Vx, Vy, P, txx, tyy, txy)
+
+        return lax.fori_loop(0, n, body, carry)
+
+    carry = (
+        stokes.V.Vx, stokes.V.Vy, stokes.P,
+        stokes.tau.xx, stokes.tau.yy, stokes.tau.xy,
+    )
+    consts = (stokes.P0, stokes.Q, stokes.viscosity.eta, G, K, rho_g[0], rho_g[1])
+    n_cells = nx * ny
+    return step, carry, consts, 23 * n_cells * 4, n_cells
+
+
+# --------------------------------------------------------------------------
+# 2D multi-phase VEP (shearband config): fused center+vertex stress kernel
+# --------------------------------------------------------------------------
+def vep2d(n=512, dtype=jnp.float32):
+    """One PT iteration of the flagship multi-phase VEP solve
+    (solvers/stokes2d_vep.py one_iteration): ∇V → compressible P → strain
+    rate → fused center+vertex return mapping → τII viscosity → V update.
+
+    Traffic (N = nx·ny; vertex arrays counted as N):
+      unknowns (R+W): Vx, Vy, θ, τxx, τyy, τxy_c, τxy_v, η, λ, λv → 20·N
+      write-only    : τII, η_vep, P, ε_pl×3, ε_vol_pl, RP       →  8·N
+      read-only     : τ_o×4, EII, P0, Q, phase_c×2, phase_v×2   → 11·N
+    A_eff = 39·N·4 B.
+    """
+    from justrelax_tpu.core.coeffs import PTStokesCoeffs
+    from justrelax_tpu.core.grid import Geometry
+    from justrelax_tpu.core.state import StokesState
+    from justrelax_tpu.ops import stokes as kernels
+    from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions, flow_bcs
+    from justrelax_tpu.ops.stencil import maxloc
+    from justrelax_tpu.ops.stokes_vep import update_stresses_center_vertex
+    from justrelax_tpu.rheology.materials import Material, MaterialStack
+    from justrelax_tpu.rheology.viscosity import compute_viscosity_fields
+
+    ni = (n, n)
+    geometry = Geometry(ni, (1.0, 1.0))
+    xci, xvi = geometry.xci, geometry.xvi
+    C = 1.6 / math.cos(math.radians(30.0))
+    common = dict(rho0=0.0, Kb=4.0, eta0=1.0, is_plastic=1.0, C=C,
+                  friction_angle=30.0, dilation_angle=0.0, eta_reg=8.0e-3)
+    material = MaterialStack.make(
+        [Material(G=1.0, **common), Material(G=0.5, **common)]
+    )
+    material = jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, material
+    )
+
+    def circle(xs, ys):
+        X, Y = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
+        inside = (X - 0.5) ** 2 + (Y - 0.5) ** 2 <= 0.01
+        ratios = np.zeros(X.shape + (2,), np.float64)
+        ratios[..., 0] = ~inside
+        ratios[..., 1] = inside
+        return jnp.asarray(ratios, dtype)
+
+    pr_c = circle(xci[0], xci[1])
+    pr_v = circle(xvi[0], xvi[1])
+    stokes = StokesState.make(ni, dtype=dtype)
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di, CFL=0.75 / math.sqrt(2.1))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    xv = jnp.asarray(xvi[0], dtype)
+    yv = jnp.asarray(xvi[1], dtype)
+    Vx = jnp.broadcast_to(xv[:, None], (n + 1, n + 2)).astype(dtype)
+    Vy = jnp.broadcast_to(-yv[None, :], (n + 2, n + 1)).astype(dtype)
+    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    r, theta_dtau, etadtau = pt.r, pt.theta_dtau, pt.etadtau
+    dt = jnp.asarray(0.25, dtype)
+
+    from justrelax_tpu.rheology.materials import get_bulk_modulus, get_shear_modulus
+
+    K_c = get_bulk_modulus(material, pr_c)
+    G_c = get_shear_modulus(material, pr_c)
+
+    class Carry(NamedTuple):
+        Vx: Array
+        Vy: Array
+        theta: Array
+        txx: Array
+        tyy: Array
+        txy_c: Array
+        txy_v: Array
+        eta: Array
+        eta_v: Array
+        lam: Array
+        lam_v: Array
+
+    def step(n_iter, carry, consts):
+        P0, Q, txx_o, tyy_o, txy_c_o, txy_v_o, EII = consts
+
+        def body(_, c):
+            eta_tau = maxloc(c.eta, window=1)
+            grad_V = kernels.compute_grad_V(c.Vx, c.Vy, inv_dx, inv_dy)
+            RP, theta = kernels.compute_P(
+                c.theta, P0, grad_V, Q, eta_tau, K_c, G_c, dt, r, theta_dtau
+            )
+            exx, eyy, exy = kernels.compute_strain_rate(
+                grad_V, c.Vx, c.Vy, inv_dx, inv_dy
+            )
+            res = update_stresses_center_vertex(
+                exx, eyy, exy,
+                c.txx, c.tyy, c.txy_c, c.txy_v,
+                txx_o, tyy_o, txy_c_o, txy_v_o,
+                theta, c.eta, c.lam, c.lam_v, EII,
+                material, pr_c, pr_v, 0.2, dt, theta_dtau,
+            )
+            eta, eta_v = compute_viscosity_fields(
+                c.eta, c.eta_v, material,
+                res.txx, res.tyy, res.txy_c,
+                jnp.zeros_like(c.eta_v), jnp.zeros_like(c.eta_v), res.txy_v,
+                pr_c, pr_v, mode="tau", relaxation=1.0e-2,
+            )
+            Vx, Vy = kernels.compute_V(
+                c.Vx, c.Vy, res.P_corrected, res.txx, res.tyy, res.txy_v,
+                etadtau, jnp.zeros_like(P0), jnp.zeros_like(P0), eta_tau,
+                inv_dx, inv_dy,
+            )
+            Vx, Vy = flow_bcs((Vx, Vy), bc)
+            return Carry(
+                Vx=Vx, Vy=Vy, theta=theta,
+                txx=res.txx, tyy=res.tyy, txy_c=res.txy_c, txy_v=res.txy_v,
+                eta=eta, eta_v=eta_v, lam=res.lam, lam_v=res.lam_v,
+            )
+
+        return lax.fori_loop(0, n_iter, body, carry)
+
+    carry = Carry(
+        Vx=Vx, Vy=Vy, theta=stokes.P,
+        txx=stokes.tau.xx, tyy=stokes.tau.yy,
+        txy_c=stokes.tau.xy_c, txy_v=stokes.tau.xy,
+        eta=jnp.ones(ni, dtype), eta_v=jnp.ones((n + 1, n + 1), dtype),
+        lam=jnp.zeros(ni, dtype), lam_v=jnp.zeros((n + 1, n + 1), dtype),
+    )
+    consts = (
+        stokes.P0, stokes.Q,
+        stokes.tau_o.xx, stokes.tau_o.yy, stokes.tau_o.xy_c, stokes.tau_o.xy,
+        stokes.EII_pl,
+    )
+    n_cells = n * n
+    return step, carry, consts, 39 * n_cells * 4, n_cells
+
+
+# --------------------------------------------------------------------------
+# 2D PT thermal diffusion
+# --------------------------------------------------------------------------
+def thermal2d(nx=1024, ny=1024, dtype=jnp.float32):
+    """One PT heat-diffusion iteration (flux relaxation + damped T update +
+    ghost BCs), constant-coefficient variant.
+
+    Traffic: unknowns (R+W) T, qx, qy, q2x, q2y → 10·N; read-only Told, K,
+    θr_dτ, dτ_ρ, ρCp, H → 6·N. A_eff = 16·N·4 B.
+    """
+    from justrelax_tpu.ops import thermal as kernels
+    from justrelax_tpu.ops.bc import Faces, TemperatureBoundaryConditions, thermal_bcs
+
+    ni = (nx, ny)
+    li = (100.0e3, 100.0e3)
+    di = (li[0] / nx, li[1] / ny)
+    inv_di = (1.0 / di[0], 1.0 / di[1])
+    from justrelax_tpu.core.coeffs import PTThermalCoeffs
+
+    K = jnp.full(ni, 3.0, dtype)
+    rho_Cp = jnp.full(ni, 3.3e6, dtype)
+    dt = 1.5e11
+    coeffs = PTThermalCoeffs.make(K, rho_Cp, dt, di, li)
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(1500.0 + 10.0 * rng.normal(size=(nx + 2, ny + 2)), dtype)
+    Told = T
+    H = jnp.zeros(ni, dtype)
+    bcs = TemperatureBoundaryConditions(
+        no_flux=Faces(left=True, right=True),
+        constant_value=Faces(top=True, bot=True),
+    )
+    theta_r_dtau = coeffs.theta_r_dtau.astype(dtype)
+    dtau_rho = coeffs.dtau_rho.astype(dtype)
+    inv_dt = 1.0 / dt
+
+    def step(n, carry, consts):
+        Told, K, rho_Cp, H = consts
+
+        def body(_, c):
+            T, q, q2 = c
+            q, q2 = kernels.compute_flux(
+                q, q2, T, inv_di, theta_r_dtau, bcs.constant_flux, K=K
+            )
+            T = kernels.update_T(
+                T, Told, q, H, H, inv_dt, inv_di, dtau_rho, rho_Cp=rho_Cp
+            )
+            T = thermal_bcs(T, bcs)
+            return (T, q, q2)
+
+        return lax.fori_loop(0, n, body, carry)
+
+    qx = jnp.zeros((nx + 1, ny), dtype)
+    qy = jnp.zeros((nx, ny + 1), dtype)
+    carry = (T, (qx, qy), (qx, qy))
+    consts = (Told, K, rho_Cp, H)
+    n_cells = nx * ny
+    return step, carry, consts, 16 * n_cells * 4, n_cells
+
+
+# --------------------------------------------------------------------------
+# 3D visco-elastic Stokes
+# --------------------------------------------------------------------------
+def ve3d(n=128, dtype=jnp.float32):
+    """One 3D VE Stokes PT iteration (solvers/stokes3d.py one_iteration).
+
+    Traffic: unknowns (R+W) V×3, P, τ×6 → 20·N; read-only η, ητ, G, K, P0,
+    Q, f×3, τ_o×6 → 15·N. A_eff = 35·N·4 B.
+    """
+    from justrelax_tpu.core.coeffs import PTStokesCoeffs
+    from justrelax_tpu.core.grid import Geometry
+    from justrelax_tpu.ops import stokes3d as k3
+    from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions, flow_bcs
+    from justrelax_tpu.ops.stencil import maxloc
+    from justrelax_tpu.ops.stokes import compute_P
+
+    ni = (n, n, n)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di)
+    r, theta_dtau, etadtau = pt.r, pt.theta_dtau, pt.etadtau
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True,
+                        front=True, back=True)
+    )
+    rng = np.random.default_rng(0)
+    eta = jnp.asarray(np.exp(0.3 * rng.normal(size=ni)), dtype)
+    Z = jnp.zeros(ni, dtype)
+    G = jnp.full(ni, jnp.inf, dtype)
+    K = jnp.full(ni, jnp.inf, dtype)
+    fz = jnp.asarray(rng.normal(size=ni), dtype)
+    dt = jnp.asarray(jnp.inf, dtype)
+
+    def step(n_iter, carry, consts):
+        P0, Q, eta, G, K, fx, fy, fz, tau_o = consts
+        eta_tau = maxloc(eta, window=1)
+
+        def body(_, c):
+            (Vx, Vy, Vz), P, tau = c
+            grad_V = k3.compute_grad_V_3d(Vx, Vy, Vz, inv_di)
+            RP, P = compute_P(P, P0, grad_V, Q, eta_tau, K, G, dt, r, theta_dtau)
+            eps = k3.compute_strain_rate_3d(grad_V, Vx, Vy, Vz, inv_di)
+            tau = k3.compute_tau_ve_3d(tau, tau_o, eps, eta, G, theta_dtau, dt)
+            Vx, Vy, Vz, _, _, _ = k3.compute_V_3d(
+                Vx, Vy, Vz, P, tau, fx, fy, fz, eta_tau, etadtau, inv_di
+            )
+            Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), bc)
+            return ((Vx, Vy, Vz), P, tau)
+
+        return lax.fori_loop(0, n_iter, body, carry)
+
+    Vx = jnp.zeros((n + 1, n + 2, n + 2), dtype)
+    Vy = jnp.zeros((n + 2, n + 1, n + 2), dtype)
+    Vz = jnp.zeros((n + 2, n + 2, n + 1), dtype)
+    tyz = jnp.zeros((n, n + 1, n + 1), dtype)
+    txz = jnp.zeros((n + 1, n, n + 1), dtype)
+    txy = jnp.zeros((n + 1, n + 1, n), dtype)
+    tau = (Z, Z, Z, tyz, txz, txy)
+    carry = ((Vx, Vy, Vz), Z, tau)
+    consts = (Z, Z, eta, G, K, Z, Z, fz, tau)
+    n_cells = n * n * n
+    return step, carry, consts, 35 * n_cells * 4, n_cells
+
+
+FAMILIES = {
+    "ve2d": ve2d,
+    "vep2d": vep2d,
+    "thermal2d": thermal2d,
+    "ve3d": ve3d,
+}
+
+
+def make_family(name, **kwargs):
+    return FAMILIES[name](**kwargs)
