@@ -68,22 +68,31 @@ def update_stresses_center_vertex(
     rel_lambda: float,
     dt,
     theta_dtau,
+    extend=None,
 ) -> VEPStressResult:
+    """``extend`` widens a center array by one node on every face before the
+    4-point dual-grid average — the serial default replicates edge values
+    (``expand_edges`` == the reference's ``av_clamped``/``harm_clamped``);
+    the distributed solver passes a halo-aware extension that fetches real
+    neighbor-device values in the interior and replicates only on physical
+    boundaries, making the shared-vertex math bit-identical to serial."""
+    if extend is None:
+        extend = expand_edges
     # ---------------- vertex pass -----------------------------------------
-    Pv = av_a(expand_edges(Pr))  # av_clamped → all vertices
-    exx_v = av_a(expand_edges(exx))
-    eyy_v = av_a(expand_edges(eyy))
-    txx_v = av_a(expand_edges(txx))
-    tyy_v = av_a(expand_edges(tyy))
-    txx_ov = av_a(expand_edges(txx_o))
-    tyy_ov = av_a(expand_edges(tyy_o))
-    EII_v = av_a(expand_edges(EII_pl))
+    Pv = av_a(extend(Pr))  # av_clamped → all vertices
+    exx_v = av_a(extend(exx))
+    eyy_v = av_a(extend(eyy))
+    txx_v = av_a(extend(txx))
+    tyy_v = av_a(extend(tyy))
+    txx_ov = av_a(extend(txx_o))
+    tyy_ov = av_a(extend(tyy_o))
+    EII_v = av_a(extend(EII_pl))
 
     ppv = plastic_params_phase(material, EII_v, phase_ratios_vertex)
     G_v = get_shear_modulus(material, phase_ratios_vertex)
     K_v = get_bulk_modulus(material, phase_ratios_vertex)
     _Gvdt = 1.0 / (G_v * dt)
-    eta_v = harm_a(expand_edges(eta))  # harm_clamped
+    eta_v = harm_a(extend(eta))  # harm_clamped
     dtau_rv = 1.0 / (theta_dtau + eta_v * _Gvdt + 1.0)
 
     dtxx_v = _stress_increment(txx_v, txx_ov, eta_v, exx_v, _Gvdt, dtau_rv)

@@ -96,13 +96,52 @@ def _layer(A, axis, idx):
     return A[tuple(sl)]
 
 
+def _no_slip_local_3d(V, ns, edges):
+    """Physical-boundary-masked no-slip (ops/bc.py _no_slip_velocity_3d):
+    zero the normal component on the boundary face; negative-mirror the
+    tangential ghost layers. Note bc.py's z-face naming: ``bot`` is z index
+    0, ``top`` is z index −1 for no-slip (no_slip.jl:22-55)."""
+    face_flags = ((ns.left, ns.right), (ns.front, ns.back), (ns.bot, ns.top))
+    Vout = list(V)
+    for axis in range(3):
+        lo_flag, hi_flag = face_flags[axis]
+        first, last = edges[axis]
+        for comp in range(3):
+            A = Vout[comp]
+            if comp == axis:  # normal component: zero on the face
+                if Faces.on(lo_flag):
+                    A = _set_layer(
+                        A, axis, 0,
+                        jnp.where(first, 0.0, _layer(A, axis, 0)),
+                    )
+                if Faces.on(hi_flag):
+                    A = _set_layer(
+                        A, axis, -1,
+                        jnp.where(last, 0.0, _layer(A, axis, -1)),
+                    )
+            else:  # tangential ghosts: negative mirror
+                if Faces.on(lo_flag):
+                    A = _set_layer(
+                        A, axis, 0,
+                        jnp.where(first, -_layer(A, axis, 1), _layer(A, axis, 0)),
+                    )
+                if Faces.on(hi_flag):
+                    A = _set_layer(
+                        A, axis, -1,
+                        jnp.where(last, -_layer(A, axis, -2), _layer(A, axis, -1)),
+                    )
+            Vout[comp] = A
+    return tuple(Vout)
+
+
 def _free_slip_local_3d(V, bc: VelocityBoundaryConditions, edges):
-    """Physical-boundary-masked free-slip: zero-normal is the staggered
-    layout's job (frozen faces), tangential ghosts mirror the first interior
-    layer. ``edges[d] = (is_first_d, is_last_d)``."""
+    """Physical-boundary-masked velocity BCs (no-slip then free-slip, the
+    serial flow_bcs order): zero-normal is the staggered layout's job
+    (frozen faces) for free-slip, tangential ghosts mirror the first
+    interior layer. ``edges[d] = (is_first_d, is_last_d)``."""
     fs = bc.free_slip
     if bc.no_slip.any():
-        raise NotImplementedError("3D distributed no-slip: next round")
+        V = _no_slip_local_3d(V, bc.no_slip, edges)
     # face↔axis naming matches ops/bc.py _free_slip_velocity_3d:
     # x: left/right, y: front/back, z: top/bot (z index 0 is "top")
     face_flags = (

@@ -38,7 +38,8 @@ EXTRAS = {
 
 
 @pytest.mark.slow
-def test_distributed3d_matches_serial():
+@pytest.mark.parametrize("bc_kind", ["free_slip", "no_slip"])
+def test_distributed3d_matches_serial(bc_kind):
     devs = jax.devices()
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -55,10 +56,9 @@ def test_distributed3d_matches_serial():
     K = np.full(ni, np.inf)
     dt = jnp.inf
 
-    flow_bc = VelocityBoundaryConditions(
-        free_slip=Faces(left=True, right=True, top=True, bot=True,
-                        front=True, back=True)
-    )
+    all_faces = Faces(left=True, right=True, top=True, bot=True,
+                      front=True, back=True)
+    flow_bc = VelocityBoundaryConditions(**{bc_kind: all_faces})
     pt = PTStokesCoeffs.make(
         geometry.li, geometry.di, CFL=1.0 / math.sqrt(3.0),
         eps_rel=1.0e-30, eps_abs=1.0e-30,
