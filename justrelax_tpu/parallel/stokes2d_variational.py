@@ -1,0 +1,325 @@
+"""Distributed (multi-device) variational (embedded free-surface) Stokes, 2D.
+
+The masked twin of :mod:`justrelax_tpu.parallel.stokes2d_vep` (reference:
+``solve_VariationalStokes!`` variational_stokes/Stokes2D.jl:24-333 under
+ImplicitGlobalGrid/MPI): every kernel is weighted/masked by the RockRatio ϕ
+exactly as in the serial solver (solvers/stokes2d_variational.py), with the
+ϕ fields and the precomputed validity masks blocked over the mesh as
+read-only per-solve inputs — the reference likewise updates the RockRatio
+outside the PT loop. The ϕ-weighting happens *before* the ghost extension,
+so neighbor-device contributions are the weighted values and the solve
+reproduces the serial solver to roundoff
+(tests/test_distributed_variational.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from justrelax_tpu.core.coeffs import PTStokesCoeffs
+from justrelax_tpu.ops.bc import VelocityBoundaryConditions
+from justrelax_tpu.ops.stencil import maxloc
+from justrelax_tpu.ops.stokes_vep import update_stresses_center_vertex
+from justrelax_tpu.parallel import halo
+from justrelax_tpu.parallel.decomp import Decomp2D
+from justrelax_tpu.parallel.stokes2d import _flow_bcs_local, _freeze_rows
+from justrelax_tpu.rheology.materials import (
+    _as_stack,
+    compute_density,
+    get_bulk_modulus,
+    get_shear_modulus,
+    phase_average,
+)
+from justrelax_tpu.rheology.viscosity import compute_viscosity_fields
+
+Array = Any
+
+__all__ = ["solve_variational_sharded"]
+
+
+class ShardedVariationalResult2D(NamedTuple):
+    Vx: Array
+    Vy: Array
+    P: Array
+    txx: Array
+    tyy: Array
+    txy_c: Array
+    txy_v: Array
+    eta: Array
+    eta_v: Array
+    lam: Array
+    lam_v: Array
+    tau_II: Array
+    err: Array
+    iters: Array
+
+
+_ORDER = (
+    "Vx", "Vy", "P", "Q",
+    "txx", "tyy", "txy_c", "txy_v",
+    "txx_o", "tyy_o", "txy_c_o", "txy_v_o",
+    "EII_pl", "eta", "eta_v",
+    "phi_c", "phi_v", "vm_c", "vm_v", "vm_vx", "vm_vy",
+)
+_OPTIONAL = ("T", "pr_c", "pr_v")
+
+
+def solve_variational_sharded(
+    mesh,
+    decomp: Decomp2D,
+    blocks: dict,
+    pt_stokes: PTStokesCoeffs,
+    flow_bc: VelocityBoundaryConditions,
+    material,
+    dt,
+    iter_max: int = 50_000,
+    iter_min: int = 100,
+    nout: int = 500,
+    viscosity_relaxation: float = 1.0e-2,
+    lambda_relaxation: float = 0.2,
+    viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
+):
+    """``blocks``: the `_ORDER` containers plus ``inv_dx``/``inv_dy``;
+    ``phi_c``/``phi_v`` the RockRatio center/vertex fractions and
+    ``vm_c``/``vm_v``/``vm_vx``/``vm_vy`` the validity masks
+    (ops/rock_ratio.valid_masks of the GLOBAL ϕ, blocked — the masks read
+    neighbor ϕ, so they are precomputed globally like the reference's
+    `update_rock_ratio!`). ``P0 ← P`` at solve entry."""
+    blocks = dict(blocks)
+    nxl, nyl = decomp.ni_local
+    nx_g, ny_g = decomp.ni_global
+    inv_dx, inv_dy = blocks.pop("inv_dx"), blocks.pop("inv_dy")
+    r, theta_dtau, etadtau = pt_stokes.r, pt_stokes.theta_dtau, pt_stokes.etadtau
+    eps_rel, eps_abs = pt_stokes.eps_rel, pt_stokes.eps_abs
+    nout_i = int(nout)
+    max_chunks = max(1, int(math.ceil(iter_max / nout_i)))
+    min_chunks = int(math.ceil(iter_min / nout_i))
+
+    present_opt = tuple(k for k in _OPTIONAL if k in blocks)
+
+    def local_solve(*args):
+        named = dict(zip(_ORDER + present_opt, args))
+        Vx0, Vy0 = named["Vx"], named["Vy"]
+        Pr0, Q = named["P"], named["Q"]
+        txx_o, tyy_o = named["txx_o"], named["tyy_o"]
+        txy_c_o, txy_v_o = named["txy_c_o"], named["txy_v_o"]
+        EII_pl = named["EII_pl"]
+        phi_c, phi_v = named["phi_c"], named["phi_v"]
+        vm_c, vm_v = named["vm_c"], named["vm_v"]
+        vm_vx, vm_vy = named["vm_vx"], named["vm_vy"]
+        T = named.get("T")
+        pr_c = named.get("pr_c")
+        pr_v = named.get("pr_v")
+
+        dtype = Pr0.dtype
+        P0 = Pr0
+        fx, lx_ = halo.axis_edges("x")
+        fy, ly_ = halo.axis_edges("y")
+        rx = lax.axis_index("x")
+        ry = lax.axis_index("y")
+
+        def extend2(A):
+            return halo.extend(halo.extend(A, 0, 1), 1, 1)
+
+        K_c = get_bulk_modulus(material, pr_c)
+        G_c = get_shear_modulus(material, pr_c)
+
+        def rho_g_fields(Pc):
+            rho = compute_density(material, T=T, P=Pc, phase_ratios=pr_c)
+            g = phase_average(_as_stack(material).params.gravity, pr_c)
+            return jnp.zeros_like(rho), rho * jnp.broadcast_to(g, rho.shape)
+
+        def eta_tau_fields(eta):
+            eta_e2 = halo.extend(halo.extend(eta, 0, 2), 1, 2)
+            etat_full = maxloc(eta_e2, window=1)[1:-1, 1:-1]
+            return etat_full[1:-1, 1:-1], etat_full[:, 1:-1], etat_full[1:-1, :]
+
+        def masked_strain(Vx, Vy):
+            grad_V = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx + (
+                Vy[1:-1, 1:] - Vy[1:-1, :-1]
+            ) * inv_dy
+            grad_V = jnp.where(vm_c, grad_V, 0.0)
+            third = 1.0 / 3.0
+            exx = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx - grad_V * third
+            eyy = (Vy[1:-1, 1:] - Vy[1:-1, :-1]) * inv_dy - grad_V * third
+            exy = 0.5 * (
+                (Vx[:, 1:] - Vx[:, :-1]) * inv_dy
+                + (Vy[1:, :] - Vy[:-1, :]) * inv_dx
+            )
+            exx = jnp.where(vm_c, exx, 0.0)
+            eyy = jnp.where(vm_c, eyy, 0.0)
+            exy = jnp.where(vm_v, exy, 0.0)
+            return grad_V, exx, eyy, exy
+
+        def masked_momentum(Pc, txx, tyy, txy_v, rho_gx, rho_gy):
+            # ϕ-weight BEFORE the ghost extension so neighbor contributions
+            # are the weighted values (masked MiniKernels under decomposition)
+            Pw, txxw = Pc * phi_c, txx * phi_c
+            tyyw, txyw = tyy * phi_c, txy_v * phi_v
+            gxw, gyw = rho_gx * phi_c, rho_gy * phi_c
+            Pw_ex, txxw_ex = halo.extend(Pw, 0, 1), halo.extend(txxw, 0, 1)
+            gxw_ex = halo.extend(gxw, 0, 1)
+            Rx = (
+                (txxw_ex[1:, :] - txxw_ex[:-1, :]) * inv_dx
+                + (txyw[:, 1:] - txyw[:, :-1]) * inv_dy
+                - (Pw_ex[1:, :] - Pw_ex[:-1, :]) * inv_dx
+                - 0.5 * (gxw_ex[1:, :] + gxw_ex[:-1, :])
+            )
+            Pw_ey, tyyw_ey = halo.extend(Pw, 1, 1), halo.extend(tyyw, 1, 1)
+            gyw_ey = halo.extend(gyw, 1, 1)
+            Ry = (
+                (tyyw_ey[:, 1:] - tyyw_ey[:, :-1]) * inv_dy
+                + (txyw[1:, :] - txyw[:-1, :]) * inv_dx
+                - (Pw_ey[:, 1:] - Pw_ey[:, :-1]) * inv_dy
+                - 0.5 * (gyw_ey[:, 1:] + gyw_ey[:, :-1])
+            )
+            Rx = jnp.where(vm_vx, Rx, 0.0)
+            Ry = jnp.where(vm_vy, Ry, 0.0)
+            return Rx, Ry
+
+        class C(NamedTuple):
+            Vx: Array
+            Vy: Array
+            P: Array
+            theta: Array
+            txx: Array
+            tyy: Array
+            txy_c: Array
+            txy_v: Array
+            eta: Array
+            eta_v: Array
+            lam: Array
+            lam_v: Array
+            tau_II: Array
+            RP: Array
+            err: Array
+            err1: Array
+            chunk: Array
+
+        def one_iteration(_, c: C):
+            eta_tau, etat_x, etat_y = eta_tau_fields(c.eta)
+            grad_V, exx, eyy, exy = masked_strain(c.Vx, c.Vy)
+            _Kdt = 1.0 / (K_c * dt)
+            rhs = -grad_V + Q / dt
+            RP = -(c.theta - P0) * _Kdt + rhs
+            psi = 1.0 / (1.0 / eta_tau + 1.0 / (G_c * dt)) * (r / theta_dtau)
+            theta = ((P0 * _Kdt + rhs) * psi + c.theta) / (1.0 + _Kdt * psi)
+            theta = jnp.where(vm_c, theta, 0.0)
+            RP = jnp.where(vm_c, RP, 0.0)
+            rho_gx, rho_gy = rho_g_fields(c.P)
+            res = update_stresses_center_vertex(
+                exx, eyy, exy,
+                c.txx, c.tyy, c.txy_c, c.txy_v,
+                txx_o, tyy_o, txy_c_o, txy_v_o,
+                theta, c.eta, c.lam, c.lam_v, EII_pl,
+                material, pr_c, pr_v,
+                lambda_relaxation, dt, theta_dtau,
+                extend=extend2,
+            )
+            txx = jnp.where(vm_c, res.txx, 0.0)
+            tyy = jnp.where(vm_c, res.tyy, 0.0)
+            txy_c = jnp.where(vm_c, res.txy_c, 0.0)
+            txy_v = jnp.where(vm_v, res.txy_v, 0.0)
+            P_new = jnp.where(vm_c, res.P_corrected, 0.0)
+            eta, eta_v = compute_viscosity_fields(
+                c.eta, c.eta_v, material,
+                txx, tyy, txy_c,
+                jnp.zeros_like(c.eta_v), jnp.zeros_like(c.eta_v), txy_v,
+                pr_c, pr_v,
+                mode="tau", relaxation=viscosity_relaxation,
+                cutoff=viscosity_cutoff,
+            )
+            Rx, Ry = masked_momentum(P_new, txx, tyy, txy_v, rho_gx, rho_gy)
+            etax = 0.5 * (etat_x[1:, :] + etat_x[:-1, :])
+            etay = 0.5 * (etat_y[:, 1:] + etat_y[:, :-1])
+            Vx_new = c.Vx.at[:, 1:-1].add(jnp.where(vm_vx, Rx * etadtau / etax, 0.0))
+            Vy_new = c.Vy.at[1:-1, :].add(jnp.where(vm_vy, Ry * etadtau / etay, 0.0))
+            # hard-zero invalid faces (reference compute_V!:195-215)
+            Vx_new = Vx_new.at[:, 1:-1].set(
+                jnp.where(vm_vx, Vx_new[:, 1:-1], 0.0)
+            )
+            Vy_new = Vy_new.at[1:-1, :].set(
+                jnp.where(vm_vy, Vy_new[1:-1, :], 0.0)
+            )
+            Vx = _freeze_rows(c.Vx, Vx_new, 0, fx, lx_)
+            Vy = _freeze_rows(c.Vy, Vy_new, 1, fy, ly_)
+            Vx, Vy = _flow_bcs_local(Vx, Vy, flow_bc, fx, lx_, fy, ly_)
+            Vx = halo.exchange_ghosts(Vx, 1, nyl)
+            Vy = halo.exchange_ghosts(Vy, 0, nxl)
+            return c._replace(
+                Vx=Vx, Vy=Vy, P=P_new, theta=theta,
+                txx=txx, tyy=tyy, txy_c=txy_c, txy_v=txy_v,
+                eta=eta, eta_v=eta_v, lam=res.lam, lam_v=res.lam_v,
+                tau_II=jnp.where(vm_c, res.tau_II, 0.0), RP=RP,
+            )
+
+        def residual_norms(c: C):
+            rho_gx, rho_gy = rho_g_fields(c.P)
+            Rx, Ry = masked_momentum(c.P, c.txx, c.tyy, c.txy_v, rho_gx, rho_gy)
+            # ownership masks: the serial Rx covers global interior faces
+            # 1..nx_g-1; zero-masked air faces are already zero
+            gfx = rx * nxl + jnp.arange(nxl + 1)
+            own_x = jnp.arange(nxl + 1) >= 1
+            mx = (own_x & (gfx >= 1) & (gfx <= nx_g - 1))[:, None]
+            gfy = ry * nyl + jnp.arange(nyl + 1)
+            own_y = jnp.arange(nyl + 1) >= 1
+            my = (own_y & (gfy >= 1) & (gfy <= ny_g - 1))[None, :]
+            ss_x = lax.psum(jnp.sum(jnp.where(mx, Rx, 0.0) ** 2), ("x", "y"))
+            ss_y = lax.psum(jnp.sum(jnp.where(my, Ry, 0.0) ** 2), ("x", "y"))
+            ss_p = lax.psum(jnp.sum(c.RP**2), ("x", "y"))
+            nRx = jnp.sqrt(ss_x) / math.sqrt((nx_g - 2) * (ny_g - 1))
+            nRy = jnp.sqrt(ss_y) / math.sqrt((nx_g - 1) * (ny_g - 2))
+            nRP = jnp.sqrt(ss_p) / math.sqrt(nx_g * ny_g)
+            return nRx, nRy, nRP
+
+        def cond(c: C):
+            not_conv = ((c.err / c.err1) > eps_rel) & (c.err > eps_abs)
+            return (c.chunk < min_chunks) | (not_conv & (c.chunk < max_chunks))
+
+        def body(c: C):
+            c = lax.fori_loop(0, nout_i, one_iteration, c)
+            nRx, nRy, nRP = residual_norms(c)
+            err = jnp.maximum(jnp.maximum(nRx, nRy), nRP)
+            err1 = jnp.where(c.chunk == 0, err, c.err1)
+            return c._replace(err=err, err1=err1, chunk=c.chunk + 1)
+
+        init = C(
+            Vx=Vx0, Vy=Vy0, P=Pr0, theta=Pr0,
+            txx=named["txx"], tyy=named["tyy"],
+            txy_c=named["txy_c"], txy_v=named["txy_v"],
+            eta=named["eta"], eta_v=named["eta_v"],
+            lam=jnp.zeros_like(Pr0), lam_v=jnp.zeros_like(named["txy_v"]),
+            tau_II=jnp.zeros_like(Pr0), RP=jnp.zeros_like(Pr0),
+            err=jnp.asarray(jnp.inf, dtype),
+            err1=jnp.asarray(1.0, dtype),
+            chunk=jnp.asarray(0, jnp.int32),
+        )
+        c = lax.while_loop(cond, body, init)
+        return ShardedVariationalResult2D(
+            Vx=c.Vx, Vy=c.Vy, P=c.P,
+            txx=c.txx, tyy=c.tyy, txy_c=c.txy_c, txy_v=c.txy_v,
+            eta=c.eta, eta_v=c.eta_v, lam=c.lam, lam_v=c.lam_v,
+            tau_II=c.tau_II, err=c.err, iters=c.chunk * nout_i,
+        )
+
+    spec = P("x", "y")
+    spec3 = P("x", "y", None)
+    in_specs = tuple(spec for _ in _ORDER) + tuple(
+        spec if k == "T" else spec3 for k in present_opt
+    )
+    out_specs = ShardedVariationalResult2D(
+        **{k: spec for k in ShardedVariationalResult2D._fields
+           if k not in ("err", "iters")},
+        err=P(), iters=P(),
+    )
+    fn = jax.shard_map(
+        local_solve, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(*(blocks[k] for k in _ORDER + present_opt))
