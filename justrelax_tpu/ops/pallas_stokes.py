@@ -7,15 +7,26 @@ arrays), the *entire chunk of ``nout`` iterations* can run inside one Pallas
 kernel with all state held in VMEM — HBM is touched once per chunk instead of
 once per iteration, taking the hot loop off the memory wall entirely.
 
-Mosaic notes: ``jnp.pad`` and back-to-back concatenations along both axes are
-rejected/miscompiled by the TPU backend, so boundary handling uses
-single-axis edge concatenations (interleaved with arithmetic) plus
-``broadcasted_iota`` freeze-masks — full-range updates with frozen boundary
-nodes, exactly the compute-in-halo pattern of the distributed solver.
+Mosaic notes (v5e toolchain): concatenations of sliced operands trip
+"result/input offset mismatch on non-concat dimension", and two-axis
+``jnp.pad`` is miscompiled. The kernel therefore uses a **collocated canvas**
+formulation: every staggered field is embedded in a common (nx+2, ny+2)
+canvas, neighbor access is ``jnp.roll`` with static ±1 shifts (which lowers
+cleanly), and staggered-subgrid/boundary ownership is enforced with
+``broadcasted_iota`` freeze-masks. All per-iteration ops are full-canvas
+elementwise + single-step rolls; clamped boundary material properties come
+from edge-padding the read-only canvases on the host.
+
+Canvas layout (a, b are canvas indices; nx×ny cells):
+- cell (i, j)   -> (i+1, j+1)   P, τxx, τyy, η, ητ, ρgx, ρgy
+- vertex (i, j) -> (i, j)       τxy (i ∈ 0..nx)
+- Vx face (i) × cell-with-ghost (j ∈ -1..ny) -> (i, j+1)
+- Vy cell-with-ghost (i) × face (j)          -> (i+1, j)
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -30,90 +41,113 @@ __all__ = ["stokes_chunk_vmem", "vmem_bytes_needed"]
 
 
 def vmem_bytes_needed(nx: int, ny: int, itemsize: int = 4) -> int:
-    """Approximate VMEM footprint of the chunk kernel (10 grid arrays)."""
+    """Approximate VMEM footprint of the chunk kernel (10 canvas arrays)."""
     return 10 * (nx + 2) * (ny + 2) * itemsize
 
 
-def _ext_x(A):
-    """Edge-replicate one layer along axis 0 (single-axis concat)."""
-    return jnp.concatenate([A[:1, :], A, A[-1:, :]], axis=0)
+def _sm1(A, ax):
+    """B[i] = A[i+1] (wraps at the end; wrapped slots are always masked)."""
+    return jnp.roll(A, -1, axis=ax)
 
 
-def _ext_y(A):
-    return jnp.concatenate([A[:, :1], A, A[:, -1:]], axis=1)
+def _sp1(A, ax):
+    """B[i] = A[i-1]."""
+    return jnp.roll(A, 1, axis=ax)
 
 
-def _interior_mask(shape, dtype):
-    """1 on interior nodes, 0 on the boundary ring."""
-    r = lax.broadcasted_iota(jnp.int32, shape, 0)
-    c = lax.broadcasted_iota(jnp.int32, shape, 1)
-    m = (r > 0) & (r < shape[0] - 1) & (c > 0) & (c < shape[1] - 1)
-    return m.astype(dtype)
+def _band(shape, axis, lo, hi):
+    i = lax.broadcasted_iota(jnp.int32, shape, axis)
+    return (i >= lo) & (i <= hi)
 
 
-def _iteration(Vx, Vy, P, txx, tyy, txy, eta, eta_tau, rho_gx, rho_gy,
-               masks, exts, inv_dx, inv_dy, r_theta, theta_dtau, etadtau,
-               free_slip):
-    """One viscous APT iteration; boundary nodes frozen by masks."""
-    m_txy, m_vx, m_vy = masks
-    eta_v, etat_ex, etat_ey, gx_ex, gy_ey = exts
+def _kernel(Vx_ref, Vy_ref, P_ref, txx_ref, tyy_ref, txy_ref,
+            eta_ref, etat_ref, gx_ref, gy_ref,
+            Vx_o, Vy_o, P_o, txx_o, tyy_o, txy_o,
+            *, nx, ny, inv_dx, inv_dy, r_theta, theta_dtau, etadtau,
+            nout, free_slip):
+    shape = P_ref.shape
+    dtype = P_ref.dtype
+    eta = eta_ref[:]
+    etat = etat_ref[:]
     third = 1.0 / 3.0
 
-    # divergence + pressure (incompressible viscous limit: ψ = ητ·r/θ)
-    grad_V = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx + (
-        Vy[1:-1, 1:] - Vy[1:-1, :-1]
-    ) * inv_dy
-    P = P + (-grad_V) * eta_tau * r_theta
+    # -- static per-chunk quantities -------------------------------------
+    # vertex viscosity: 4-cell average around vertex (i, j) = canvas (a, b):
+    # cells at canvases (a, b), (a+1, b), (a, b+1), (a+1, b+1)
+    eta_x = 0.5 * (eta + _sm1(eta, 0))
+    eta_v = 0.5 * (eta_x + _sm1(eta_x, 1))
+    # face-averaged maxloc preconditioner
+    etax = 0.5 * (etat + _sm1(etat, 0))
+    etay = 0.5 * (etat + _sm1(etat, 1))
+    gxf = 0.5 * (gx_ref[:] + _sm1(gx_ref[:], 0))
+    gyf = 0.5 * (gy_ref[:] + _sm1(gy_ref[:], 1))
 
-    # strain rate
-    exx = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx - grad_V * third
-    eyy = (Vy[1:-1, 1:] - Vy[1:-1, :-1]) * inv_dy - grad_V * third
-    exy = 0.5 * (
-        (Vx[:, 1:] - Vx[:, :-1]) * inv_dy + (Vy[1:, :] - Vy[:-1, :]) * inv_dx
-    )
+    # -- freeze masks -----------------------------------------------------
+    def m(cond):
+        return cond.astype(dtype)
 
-    # viscous PT stress update (interior vertices; boundary frozen by mask)
-    dtau_r = 1.0 / (theta_dtau + 1.0)
-    txx = txx + dtau_r * (2.0 * eta * exx - txx)
-    tyy = tyy + dtau_r * (2.0 * eta * eyy - tyy)
-    txy = txy + m_txy * (dtau_r * (2.0 * eta_v * exy - txy))
-
-    # full-face velocity update with edge-extended operands, boundary faces
-    # and ghost rows frozen by masks
-    P_ex = _ext_x(P)
-    txx_ex = _ext_x(txx)
-    rx = (
-        (txx_ex[1:, :] - txx_ex[:-1, :]) * inv_dx
-        + (txy[:, 1:] - txy[:, :-1]) * inv_dy
-        - (P_ex[1:, :] - P_ex[:-1, :]) * inv_dx
-        - 0.5 * (gx_ex[1:, :] + gx_ex[:-1, :])
-    )
-    P_ey = _ext_y(P)
-    tyy_ey = _ext_y(tyy)
-    ry = (
-        (tyy_ey[:, 1:] - tyy_ey[:, :-1]) * inv_dy
-        + (txy[1:, :] - txy[:-1, :]) * inv_dx
-        - (P_ey[:, 1:] - P_ey[:, :-1]) * inv_dy
-        - 0.5 * (gy_ey[:, 1:] + gy_ey[:, :-1])
-    )
-    etax = 0.5 * (etat_ex[1:, :] + etat_ex[:-1, :])
-    etay = 0.5 * (etat_ey[:, 1:] + etat_ey[:, :-1])
-    # rx/ry live on all faces × interior rows/cols — embed into the ghosted
-    # velocity arrays via single-axis concats of zero columns/rows
-    dVx = rx * (etadtau / etax)
-    zc = jnp.zeros((dVx.shape[0], 1), dVx.dtype)
-    dVx_full = jnp.concatenate([zc, dVx, zc], axis=1)
-    Vx = Vx + m_vx * dVx_full
-    dVy = ry * (etadtau / etay)
-    zr = jnp.zeros((1, dVy.shape[1]), dVy.dtype)
-    dVy_full = jnp.concatenate([zr, dVy, zr], axis=0)
-    Vy = Vy + m_vy * dVy_full
-
+    Mc = m(_band(shape, 0, 1, nx) & _band(shape, 1, 1, ny))           # cells
+    Mv = m(_band(shape, 0, 1, nx - 1) & _band(shape, 1, 1, ny - 1))   # int. vertices
+    MVx = m(_band(shape, 0, 1, nx - 1) & _band(shape, 1, 1, ny))      # int. x-faces
+    MVy = m(_band(shape, 0, 1, nx) & _band(shape, 1, 1, ny - 1))      # int. y-faces
     if free_slip:
-        # tangential ghost mirrors (single-axis concats)
-        Vx = jnp.concatenate([Vx[:, 1:2], Vx[:, 1:-1], Vx[:, -2:-1]], axis=1)
-        Vy = jnp.concatenate([Vy[1:2, :], Vy[1:-1, :], Vy[-2:-1, :]], axis=0)
-    return Vx, Vy, P, txx, tyy, txy
+        gxl = _band(shape, 1, 0, 0) & _band(shape, 0, 0, nx)      # Vx ghost col b=0
+        gxr = _band(shape, 1, ny + 1, ny + 1) & _band(shape, 0, 0, nx)
+        gyl = _band(shape, 0, 0, 0) & _band(shape, 1, 0, ny)      # Vy ghost row a=0
+        gyr = _band(shape, 0, nx + 1, nx + 1) & _band(shape, 1, 0, ny)
+
+    dtau_r = 1.0 / (theta_dtau + 1.0)
+
+    def body(_, carry):
+        Vx, Vy, P, txx, tyy, txy = carry
+
+        # divergence + pressure (incompressible viscous limit: ψ = ητ·r/θ)
+        dVxdx = (Vx - _sp1(Vx, 0)) * inv_dx
+        dVydy = (Vy - _sp1(Vy, 1)) * inv_dy
+        grad_V = dVxdx + dVydy
+        P = P - Mc * (grad_V * etat * r_theta)
+
+        # deviatoric strain rates + PT stress update (cells)
+        exx = dVxdx - grad_V * third
+        eyy = dVydy - grad_V * third
+        txx = txx + Mc * (dtau_r * (2.0 * eta * exx - txx))
+        tyy = tyy + Mc * (dtau_r * (2.0 * eta * eyy - tyy))
+
+        # shear strain rate + stress at interior vertices
+        exy = 0.5 * (
+            (_sm1(Vx, 1) - Vx) * inv_dy + (_sm1(Vy, 0) - Vy) * inv_dx
+        )
+        txy = txy + Mv * (dtau_r * (2.0 * eta_v * exy - txy))
+
+        # damped velocity update on interior faces
+        rx = (
+            (_sm1(txx, 0) - txx) * inv_dx
+            + (txy - _sp1(txy, 1)) * inv_dy
+            - (_sm1(P, 0) - P) * inv_dx
+            - gxf
+        )
+        Vx = Vx + MVx * (rx * (etadtau / etax))
+        ry = (
+            (_sm1(tyy, 1) - tyy) * inv_dy
+            + (txy - _sp1(txy, 0)) * inv_dx
+            - (_sm1(P, 1) - P) * inv_dy
+            - gyf
+        )
+        Vy = Vy + MVy * (ry * (etadtau / etay))
+
+        if free_slip:
+            # tangential ghost mirrors
+            Vx = jnp.where(gxl, _sm1(Vx, 1), Vx)
+            Vx = jnp.where(gxr, _sp1(Vx, 1), Vx)
+            Vy = jnp.where(gyl, _sm1(Vy, 0), Vy)
+            Vy = jnp.where(gyr, _sp1(Vy, 0), Vy)
+        return Vx, Vy, P, txx, tyy, txy
+
+    out = lax.fori_loop(
+        0, nout, body,
+        (Vx_ref[:], Vy_ref[:], P_ref[:], txx_ref[:], tyy_ref[:], txy_ref[:]),
+    )
+    Vx_o[:], Vy_o[:], P_o[:], txx_o[:], tyy_o[:], txy_o[:] = out
 
 
 def stokes_chunk_vmem(
@@ -123,56 +157,42 @@ def stokes_chunk_vmem(
 ):
     """Run ``nout`` viscous APT iterations fully inside VMEM.
 
-    Returns updated (Vx, Vy, P, txx, tyy, txy).
+    Takes/returns the solver's staggered arrays (Vx (nx+1, ny+2),
+    Vy (nx+2, ny+1), cell fields (nx, ny), τxy (nx+1, ny+1)); embedding into
+    the common canvas happens here (host-side XLA pads, which are cheap and
+    outside the hot loop).
     """
-    r_theta = r / theta_dtau
-    dtype = P.dtype
-    nx1, ny1 = txy.shape
+    nx, ny = P.shape
+    shape = (nx + 2, ny + 2)
 
-    def kernel(Vx_ref, Vy_ref, P_ref, txx_ref, tyy_ref, txy_ref,
-               eta_ref, etat_ref, gx_ref, gy_ref,
-               Vx_o, Vy_o, P_o, txx_o, tyy_o, txy_o):
-        eta_l = eta_ref[:]
-        etat_l = etat_ref[:]
+    def cell(A, mode="constant"):
+        return jnp.pad(A, ((1, 1), (1, 1)), mode=mode)
 
-        # static per-chunk quantities (single-axis extensions, interleaved)
-        eta_hx = 0.5 * (_ext_x(eta_l)[:-1, :] + _ext_x(eta_l)[1:, :])
-        eta_v = 0.5 * (_ext_y(eta_hx)[:, :-1] + _ext_y(eta_hx)[:, 1:])
-        exts = (
-            eta_v,
-            _ext_x(etat_l),
-            _ext_y(etat_l),
-            _ext_x(gx_ref[:]),
-            _ext_y(gy_ref[:]),
-        )
-        # freeze masks: τxy boundary ring; Vx outer faces + ghost cols;
-        # Vy outer faces + ghost rows
-        m_txy = _interior_mask((nx1, ny1), dtype)
-        m_vx = _interior_mask(Vx_ref.shape, dtype)
-        m_vy = _interior_mask(Vy_ref.shape, dtype)
-        masks = (m_txy, m_vx, m_vy)
+    canv = (
+        jnp.pad(Vx, ((0, 1), (0, 0))),          # faces 0..nx at a=0..nx
+        jnp.pad(Vy, ((0, 0), (0, 1))),
+        cell(P), cell(txx), cell(tyy),
+        jnp.pad(txy, ((0, 1), (0, 1))),         # vertices at (i, j)
+        cell(eta, "edge"), cell(eta_tau, "edge"),
+        cell(rho_gx, "edge"), cell(rho_gy, "edge"),
+    )
 
-        def body(_, carry):
-            return _iteration(
-                *carry, eta_l, etat_l, gx_ref[:], gy_ref[:],
-                masks, exts, inv_dx, inv_dy, r_theta, theta_dtau, etadtau,
-                free_slip,
-            )
-
-        out = lax.fori_loop(
-            0, nout, body,
-            (Vx_ref[:], Vy_ref[:], P_ref[:], txx_ref[:], tyy_ref[:], txy_ref[:]),
-        )
-        Vx_o[:], Vy_o[:], P_o[:], txx_o[:], tyy_o[:], txy_o[:] = out
-
-    args = (Vx, Vy, P, txx, tyy, txy, eta, eta_tau, rho_gx, rho_gy)
-    out_shape = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args[:6])
+    kern = partial(
+        _kernel, nx=nx, ny=ny, inv_dx=inv_dx, inv_dy=inv_dy,
+        r_theta=r / theta_dtau, theta_dtau=theta_dtau, etadtau=etadtau,
+        nout=nout, free_slip=free_slip,
+    )
+    out_shape = tuple(jax.ShapeDtypeStruct(shape, a.dtype) for a in canv[:6])
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
+    o = pl.pallas_call(
+        kern,
         out_shape=out_shape,
         in_specs=[vspec] * 10,
         out_specs=(vspec,) * 6,
         input_output_aliases={i: i for i in range(6)},
         interpret=interpret,
-    )(*args)
+    )(*canv)
+    return (
+        o[0][:-1, :], o[1][:, :-1], o[2][1:-1, 1:-1], o[3][1:-1, 1:-1],
+        o[4][1:-1, 1:-1], o[5][:-1, :-1],
+    )
