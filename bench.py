@@ -122,7 +122,9 @@ def run_goldens(level="default"):
 
 
 def main():
-    families = os.environ.get("BENCH_FAMILIES", "ve2d,vep2d,thermal2d,ve3d")
+    families = os.environ.get(
+        "BENCH_FAMILIES", "ve2d,vep2d,thermal2d,ve3d,pallas_ve2d"
+    )
     families = [f for f in families.split(",") if f]
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     golden_level = os.environ.get("BENCH_GOLDENS", "default")
@@ -133,7 +135,14 @@ def main():
 
     goldens = run_goldens(golden_level)
 
-    head = results.get("ve2d") or next(iter(results.values()))
+    # headline = best 2D VE number: the Pallas VMEM-chunk path when it ran
+    # (T_eff is *effective* — HBM touched once per chunk, so it can exceed
+    # HBM peak), else the XLA streaming path.
+    head = (
+        results.get("pallas_ve2d")
+        or results.get("ve2d")
+        or next(iter(results.values()))
+    )
     payload = {
         "metric": "stokes2d_pt_iteration_T_eff",
         "value": head["T_eff_GBs"],

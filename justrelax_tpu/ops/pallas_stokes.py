@@ -61,15 +61,22 @@ def _band(shape, axis, lo, hi):
 
 
 def _kernel(Vx_ref, Vy_ref, P_ref, txx_ref, tyy_ref, txy_ref,
-            eta_ref, etat_ref, gx_ref, gy_ref,
+            eta_ref, etat_ref, gx_ref, gy_ref, scal_ref, nit_ref,
             Vx_o, Vy_o, P_o, txx_o, tyy_o, txy_o,
-            *, nx, ny, inv_dx, inv_dy, r_theta, theta_dtau, etadtau,
-            nout, free_slip):
+            *, nx, ny, free_slip):
     shape = P_ref.shape
     dtype = P_ref.dtype
     eta = eta_ref[:]
     etat = etat_ref[:]
     third = 1.0 / 3.0
+    # PT scalars arrive via SMEM so one compiled kernel serves any chunk
+    # length and traced PTStokesCoeffs (solve_ve is jitted over them).
+    inv_dx = scal_ref[0]
+    inv_dy = scal_ref[1]
+    r_theta = scal_ref[2]
+    theta_dtau = scal_ref[3]
+    etadtau = scal_ref[4]
+    nout = nit_ref[0]
 
     # -- static per-chunk quantities -------------------------------------
     # vertex viscosity: 4-cell average around vertex (i, j) = canvas (a, b):
@@ -168,6 +175,12 @@ def stokes_chunk_vmem(
     def cell(A, mode="constant"):
         return jnp.pad(A, ((1, 1), (1, 1)), mode=mode)
 
+    dtype = P.dtype
+    scal = jnp.stack([
+        jnp.asarray(v, dtype)
+        for v in (inv_dx, inv_dy, r / theta_dtau, theta_dtau, etadtau)
+    ])
+    nit = jnp.asarray(nout, jnp.int32).reshape(1)
     canv = (
         jnp.pad(Vx, ((0, 1), (0, 0))),          # faces 0..nx at a=0..nx
         jnp.pad(Vy, ((0, 0), (0, 1))),
@@ -177,21 +190,18 @@ def stokes_chunk_vmem(
         cell(rho_gx, "edge"), cell(rho_gy, "edge"),
     )
 
-    kern = partial(
-        _kernel, nx=nx, ny=ny, inv_dx=inv_dx, inv_dy=inv_dy,
-        r_theta=r / theta_dtau, theta_dtau=theta_dtau, etadtau=etadtau,
-        nout=nout, free_slip=free_slip,
-    )
+    kern = partial(_kernel, nx=nx, ny=ny, free_slip=free_slip)
     out_shape = tuple(jax.ShapeDtypeStruct(shape, a.dtype) for a in canv[:6])
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     o = pl.pallas_call(
         kern,
         out_shape=out_shape,
-        in_specs=[vspec] * 10,
+        in_specs=[vspec] * 10 + [sspec, sspec],
         out_specs=(vspec,) * 6,
         input_output_aliases={i: i for i in range(6)},
         interpret=interpret,
-    )(*canv)
+    )(*canv, scal, nit)
     return (
         o[0][:-1, :], o[1][:, :-1], o[2][1:-1, 1:-1], o[3][1:-1, 1:-1],
         o[4][1:-1, 1:-1], o[5][:-1, :-1],

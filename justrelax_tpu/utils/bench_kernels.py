@@ -371,11 +371,55 @@ def ve3d(n=128, dtype=jnp.float32):
     return step, carry, consts, 35 * n_cells * 4, n_cells
 
 
+def pallas_ve2d(n=382, dtype=jnp.float32):
+    """VMEM-resident Pallas chunk iteration (viscous SolCx config).
+
+    The whole ``n_iter`` chunk runs inside one Pallas kernel with all state
+    in VMEM (ops/pallas_stokes.py) — HBM is touched once per chunk, not once
+    per iteration, so T_eff here is *effective* and may exceed HBM peak.
+
+    Traffic convention: the viscous iteration's necessary traffic is
+    A_eff = 16·N·4 B (unknowns Vx, Vy, P, τxx, τyy, τxy R+W → 12·N;
+    read-only η, ητ, ρgx, ρgy → 4·N) — smaller than ve2d's 23·N because the
+    kernel specializes the viscous limit (no G/K/P0/Q/τ_o reads). GUPS is
+    the convention-free comparison against ve2d.
+
+    n=382 is the largest VMEM-resident size (canvas 384² = 3×128 lanes).
+    """
+    from justrelax_tpu.ops.pallas_stokes import stokes_chunk_vmem
+    from justrelax_tpu.ops.stencil import maxloc
+
+    geometry, stokes, pt, bc, rho_g, G, K = _solcx_setup(n, n, dtype)
+    inv_dx = 1.0 / geometry.di[0]
+    inv_dy = 1.0 / geometry.di[1]
+    r, theta_dtau, etadtau = (
+        float(pt.r), float(pt.theta_dtau), float(pt.etadtau))
+    eta = stokes.viscosity.eta
+    eta_tau = maxloc(eta, window=1)
+
+    def step(n_iter, carry, consts):
+        eta, eta_tau, gx, gy = consts
+        return stokes_chunk_vmem(
+            *carry, eta, eta_tau, gx, gy,
+            inv_dx, inv_dy, r, theta_dtau, etadtau, nout=n_iter,
+        )
+
+    Z = jnp.zeros((n, n), dtype)
+    carry = (
+        jnp.zeros((n + 1, n + 2), dtype), jnp.zeros((n + 2, n + 1), dtype),
+        Z, Z, Z, jnp.zeros((n + 1, n + 1), dtype),
+    )
+    consts = (eta, eta_tau, rho_g[0], rho_g[1])
+    n_cells = n * n
+    return step, carry, consts, 16 * n_cells * 4, n_cells
+
+
 FAMILIES = {
     "ve2d": ve2d,
     "vep2d": vep2d,
     "thermal2d": thermal2d,
     "ve3d": ve3d,
+    "pallas_ve2d": pallas_ve2d,
 }
 
 

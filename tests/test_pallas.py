@@ -44,3 +44,52 @@ def test_pallas_chunk_matches_solver():
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(sj.V.Vx), atol=1e-14)
     np.testing.assert_allclose(np.asarray(out[2]), np.asarray(sj.P), atol=1e-13)
     np.testing.assert_allclose(np.asarray(out[5]), np.asarray(sj.tau.xy), atol=1e-13)
+
+
+@pytest.mark.slow
+def test_solve_ve_use_pallas_matches_xla():
+    """solve_ve(use_pallas=True) full solve == XLA path (interpret mode)."""
+    n = 32
+    geom = Geometry((n, n), (1.0, 1.0))
+    eta = jnp.asarray(solcx.solcx_viscosity(geom, 1e6))
+    rho = jnp.asarray(solcx.solcx_density(geom))
+    pt = PTStokesCoeffs.make(geom.li, geom.di, CFL=1 / math.sqrt(2.1))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    z = jnp.zeros((n, n))
+    stokes = StokesState.make((n, n))
+    stokes = stokes.replace(viscosity=stokes.viscosity.replace(eta=eta))
+    G = jnp.full((n, n), jnp.inf)
+    K = jnp.full((n, n), jnp.inf)
+    args = (stokes, pt, geom, bc, (z, rho), G, K, 0.1)
+    s_x, i_x = solve_ve(*args, iter_max=4000, nout=500)
+    s_p, i_p = solve_ve(*args, iter_max=4000, nout=500, use_pallas=True)
+    assert float(i_p.err) < 1e-8 or float(i_p.err) <= float(i_x.err) * 1.01
+    np.testing.assert_allclose(
+        np.asarray(s_p.V.Vx), np.asarray(s_x.V.Vx), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(s_p.P), np.asarray(s_x.P), atol=1e-11)
+
+
+def test_solve_ve_use_pallas_validation():
+    n = 16
+    geom = Geometry((n, n), (1.0, 1.0))
+    pt = PTStokesCoeffs.make(geom.li, geom.di)
+    z = jnp.zeros((n, n))
+    stokes = StokesState.make((n, n))
+    G = jnp.full((n, n), jnp.inf)
+    bc_ns = VelocityBoundaryConditions(
+        no_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    with pytest.raises(ValueError, match="free-slip"):
+        solve_ve(stokes, pt, geom, bc_ns, (z, z), G, G, 0.1, use_pallas=True)
+    big = StokesState.make((512, 512))
+    geom_big = Geometry((512, 512), (1.0, 1.0))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    zb = jnp.zeros((512, 512))
+    with pytest.raises(ValueError, match="VMEM"):
+        solve_ve(big, pt, geom_big, bc, (zb, zb), jnp.full((512, 512), jnp.inf),
+                 jnp.full((512, 512), jnp.inf), 0.1, use_pallas=True)
