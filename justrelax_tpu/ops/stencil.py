@@ -20,6 +20,7 @@ Naming convention (matching the reference):
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = [
     "d_xa",
@@ -181,3 +182,37 @@ def jax_slice(A, axis, start, stop):
     else:
         idx[axis] = slice(start, stop)
     return A[tuple(idx)]
+
+
+# --- interior-slab updates (pad+add / mask+set idiom) -----------------------
+# A ``.at[1:-1, ...].add(inc)`` lowers to a misaligned dynamic-update-slice,
+# which on TPU costs ~3x the entire fused PT iteration (measured on v5e,
+# 126^3: 2202 -> 728 us/iter after conversion). A zero-pad fuses into the
+# elementwise add; a broadcasted-iota mask fuses into a select.
+
+
+def interior_add(A, inc, pads=None):
+    """``A.at[interior].add(inc)`` as fusable pad+add.
+
+    ``pads`` defaults to one layer on every axis; pass a jnp.pad-style tuple
+    to pad a subset of axes (e.g. ``((0, 0), (1, 1))`` for ``A.at[:, 1:-1]``).
+    """
+    if pads is None:
+        pads = tuple((1, 1) for _ in range(A.ndim))
+    return A + jnp.pad(inc, pads)
+
+
+def interior_set(A, val, pads=None):
+    """``A.at[interior].set(val)`` as fusable mask+select."""
+    if pads is None:
+        pads = tuple((1, 1) for _ in range(A.ndim))
+    mask = None
+    for ax, (lo, hi) in enumerate(pads):
+        if lo == 0 and hi == 0:
+            continue
+        i = lax.broadcasted_iota(jnp.int32, A.shape, ax)
+        m = (i >= lo) & (i < A.shape[ax] - hi)
+        mask = m if mask is None else (mask & m)
+    if mask is None:
+        return val
+    return jnp.where(mask, jnp.pad(val, pads), A)

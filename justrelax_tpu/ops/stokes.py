@@ -132,7 +132,10 @@ def compute_tau_ve(txx, tyy, txy, txx_o, tyy_o, txy_o, exx, eyy, exy, eta, G, th
     inc = _stress_increment(
         txy[1:-1, 1:-1], txy_o[1:-1, 1:-1], eta_v, exy[1:-1, 1:-1], _Gdt_v, dtau_r_v
     )
-    txy = txy.at[1:-1, 1:-1].add(inc)
+    # pad+add instead of .at[interior].add: misaligned-slab dynamic-update-
+    # slice is the dominant cost of the PT iteration on TPU (measured 3x on
+    # v5e in 3D); a zero-pad fuses into the elementwise add.
+    txy = txy + jnp.pad(inc, ((1, 1), (1, 1)))
     return txx, tyy, txy
 
 
@@ -197,8 +200,9 @@ def compute_V(
         ry = ry + _free_surface_correction(Vy, rho_gy, fs_inv_dy, free_surface_dt)
     etax = 0.5 * (eta_tau[1:, :] + eta_tau[:-1, :])
     etay = 0.5 * (eta_tau[:, 1:] + eta_tau[:, :-1])
-    Vx = Vx.at[1:-1, 1:-1].add(rx * etadtau / etax)
-    Vy = Vy.at[1:-1, 1:-1].add(ry * etadtau / etay)
+    # pad+add: see compute_tau_ve (avoids the slow misaligned-slab DUS)
+    Vx = Vx + jnp.pad(rx * etadtau / etax, ((1, 1), (1, 1)))
+    Vy = Vy + jnp.pad(ry * etadtau / etay, ((1, 1), (1, 1)))
     return Vx, Vy
 
 

@@ -22,6 +22,7 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 
 from justrelax_tpu.ops.bc import Faces
+from justrelax_tpu.ops.stencil import interior_set
 from justrelax_tpu.rheology import materials as mat
 
 Array = Any
@@ -216,8 +217,7 @@ def update_T(
     if dirichlet is not None:
         mask, value = dirichlet
         T_new_in = jnp.where(mask, value, T_new_in)
-    inner = tuple(slice(1, -1) for _ in range(T.ndim))
-    return T.at[inner].set(T_new_in)
+    return interior_set(T, T_new_in)
 
 
 def check_res(

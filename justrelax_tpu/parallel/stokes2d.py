@@ -33,7 +33,7 @@ from jax.sharding import PartitionSpec as P
 
 from justrelax_tpu.core.coeffs import PTStokesCoeffs
 from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions
-from justrelax_tpu.ops.stencil import av_a, maxloc
+from justrelax_tpu.ops.stencil import av_a, interior_add, interior_set, maxloc
 from justrelax_tpu.parallel import halo
 from justrelax_tpu.parallel.decomp import Decomp2D
 
@@ -103,10 +103,22 @@ def solve_ve_sharded(
     dt,
     iter_max: int = 10_000,
     nout: int = 500,
+    overlap: bool = True,
 ):
     """Run the VE APT Stokes solve over the mesh. ``blocks`` holds the
     blocked-local container arrays: Vx, Vy, P, P0, Q, txx, tyy, txy,
     txx_o, tyy_o, txy_o, eta, G, K, rho_gx, rho_gy.
+
+    ``overlap=True`` is the analogue of the reference's
+    ``@hide_communication`` (src/stokes/Stokes2D.jl:768-785): the velocity
+    ghost rows received by ``ppermute`` are carried as *separate* slices
+    instead of being concatenated back into V at the end of each iteration.
+    Concatenation would make the next iteration's first op depend on the
+    collective; with split carries, the only true consumer of the ghosts is
+    the shear strain rate at block-edge vertices, so XLA's latency-hiding
+    scheduler is free to overlap the halo collective-permute with the whole
+    interior divergence/pressure/normal-stress chain of the next iteration.
+    Both paths are bit-identical (tests/test_distributed.py).
 
     Returns a :class:`ShardedSolveResult` of blocked-local containers.
     """
@@ -143,8 +155,40 @@ def solve_ve_sharded(
         _Gdt_v = 1.0 / (G_v * dt)
         dtau_r_v = 1.0 / (theta + eta_v * _Gdt_v + 1.0)
 
+        def eff_ghosts(Vx, Vy, gxl, gxh, gyl, gyh):
+            """Assemble the ghost-refreshed V arrays from split carries.
+
+            Physical-boundary devices keep their own (BC-determined) ghost
+            rows; interior devices take the carried ppermute slices. Values
+            are bit-identical to ``exchange_ghosts``."""
+            Vx_f = jnp.concatenate(
+                [
+                    jnp.where(fy, Vx[:, 0:1], gxl),
+                    Vx[:, 1:-1],
+                    jnp.where(ly_, Vx[:, -1:], gxh),
+                ],
+                axis=1,
+            )
+            Vy_f = jnp.concatenate(
+                [
+                    jnp.where(fx, Vy[0:1, :], gyl),
+                    Vy[1:-1, :],
+                    jnp.where(lx_, Vy[-1:, :], gyh),
+                ],
+                axis=0,
+            )
+            return Vx_f, Vy_f
+
         def one_iteration(_, c):
-            Vx, Vy, Pr, txx, tyy, txy = c
+            if overlap:
+                Vx, Vy, Pr, txx, tyy, txy, gxl, gxh, gyl, gyh = c
+                # the ONLY consumer of the halo ghosts is the edge-vertex
+                # shear strain rate below — grad_V/P/normal-stress are free
+                # to overlap with the (previous iteration's) ppermutes
+                Vx_f, Vy_f = eff_ghosts(Vx, Vy, gxl, gxh, gyl, gyh)
+            else:
+                Vx, Vy, Pr, txx, tyy, txy = c
+                Vx_f, Vy_f = Vx, Vy
             # divergence + pressure (local)
             grad_V = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx + (
                 Vy[1:-1, 1:] - Vy[1:-1, :-1]
@@ -159,7 +203,8 @@ def solve_ve_sharded(
             exx = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx - grad_V * third
             eyy = (Vy[1:-1, 1:] - Vy[1:-1, :-1]) * inv_dy - grad_V * third
             exy = 0.5 * (
-                (Vx[:, 1:] - Vx[:, :-1]) * inv_dy + (Vy[1:, :] - Vy[:-1, :]) * inv_dx
+                (Vx_f[:, 1:] - Vx_f[:, :-1]) * inv_dy
+                + (Vy_f[1:, :] - Vy_f[:-1, :]) * inv_dx
             )
 
             # stress update: centers local, vertices everywhere then freeze
@@ -192,13 +237,23 @@ def solve_ve_sharded(
             )
             etax = 0.5 * (etat_x[1:, :] + etat_x[:-1, :])
             etay = 0.5 * (etat_y[:, 1:] + etat_y[:, :-1])
-            Vx_new = Vx.at[:, 1:-1].add(rx_mom * etadtau / etax)
-            Vy_new = Vy.at[1:-1, :].add(ry_mom * etadtau / etay)
+            Vx_new = interior_add(Vx, rx_mom * etadtau / etax, pads=((0, 0), (1, 1)))
+            Vy_new = interior_add(Vy, ry_mom * etadtau / etay, pads=((1, 1), (0, 0)))
             Vx = _freeze_rows(Vx, Vx_new, 0, fx, lx_)
             Vy = _freeze_rows(Vy, Vy_new, 1, fy, ly_)
 
             # physical BCs + ghost-row exchange
             Vx, Vy = _flow_bcs_local(Vx, Vy, flow_bc, fx, lx_, fy, ly_)
+            if overlap:
+                # issue the halo permutes but carry the received slices
+                # separately (@hide_communication analogue — no concat back
+                # into V, so the collective has the whole next-iteration
+                # interior chain to hide behind)
+                gxl = halo.from_prev(Vx[:, nyl:nyl + 1], "y")
+                gxh = halo.from_next(Vx[:, 1:2], "y")
+                gyl = halo.from_prev(Vy[nxl:nxl + 1, :], "x")
+                gyh = halo.from_next(Vy[1:2, :], "x")
+                return (Vx, Vy, Pr, txx, tyy, txy, gxl, gxh, gyl, gyh)
             Vx = halo.exchange_ghosts(Vx, 1, nyl)
             Vy = halo.exchange_ghosts(Vy, 0, nxl)
             return (Vx, Vy, Pr, txx, tyy, txy)
@@ -247,26 +302,36 @@ def solve_ve_sharded(
             return nRx, nRy, nRP
 
         def cond(c):
-            (_, _, _, _, _, _), err, err1, chunk = c
+            _, err, err1, chunk = c
             not_conv = ((err / err1) > eps_rel) & (err > eps_abs)
             return (chunk < 1) | (not_conv & (chunk < max_chunks))
 
         def body(c):
             state, err, err1, chunk = c
             state = lax.fori_loop(0, nout_i, one_iteration, state)
-            nRx, nRy, nRP = residual_norms(*state)
+            nRx, nRy, nRP = residual_norms(*state[:6])
             err = jnp.maximum(jnp.maximum(nRx, nRy), nRP)
             err1 = jnp.where(chunk == 0, err, err1)
             return state, err, err1, chunk + 1
 
         dtype = Pr.dtype
+        state0 = (Vx, Vy, Pr, txx, tyy, txy)
+        if overlap:
+            # initial ghost carries = the containers' current ghost rows
+            # (bit-matching the non-overlap path's first-iteration reads)
+            state0 = state0 + (Vx[:, 0:1], Vx[:, -1:], Vy[0:1, :], Vy[-1:, :])
         init = (
-            (Vx, Vy, Pr, txx, tyy, txy),
+            state0,
             jnp.asarray(jnp.inf, dtype),
             jnp.asarray(1.0, dtype),
             jnp.asarray(0, jnp.int32),
         )
-        (Vx, Vy, Pr, txx, tyy, txy), err, _, chunk = lax.while_loop(cond, body, init)
+        state, err, _, chunk = lax.while_loop(cond, body, init)
+        Vx, Vy, Pr, txx, tyy, txy = state[:6]
+        if overlap:
+            # materialize the carried ghost slices back into V so the
+            # returned containers match the exchange_ghosts layout
+            Vx, Vy = eff_ghosts(Vx, Vy, *state[6:])
         return ShardedSolveResult(
             Vx=Vx, Vy=Vy, P=Pr, txx=txx, tyy=tyy, txy=txy,
             err=err, iters=chunk * nout_i,

@@ -30,7 +30,7 @@ from jax.sharding import PartitionSpec as P
 
 from justrelax_tpu.core.coeffs import PTStokesCoeffs
 from justrelax_tpu.ops.bc import VelocityBoundaryConditions
-from justrelax_tpu.ops.stencil import av_a, maxloc
+from justrelax_tpu.ops.stencil import av_a, interior_add, interior_set, maxloc
 from justrelax_tpu.ops.stokes_vep import update_stresses_center_vertex
 from justrelax_tpu.parallel import halo
 from justrelax_tpu.parallel.decomp import Decomp2D
@@ -229,8 +229,8 @@ def solve_vep_sharded(
                               rho_gx, rho_gy)
             etax = 0.5 * (etat_x[1:, :] + etat_x[:-1, :])
             etay = 0.5 * (etat_y[:, 1:] + etat_y[:, :-1])
-            Vx_new = c.Vx.at[:, 1:-1].add(Rx * etadtau / etax)
-            Vy_new = c.Vy.at[1:-1, :].add(Ry * etadtau / etay)
+            Vx_new = interior_add(c.Vx, Rx * etadtau / etax, pads=((0, 0), (1, 1)))
+            Vy_new = interior_add(c.Vy, Ry * etadtau / etay, pads=((1, 1), (0, 0)))
             Vx = _freeze_rows(c.Vx, Vx_new, 0, fx, lx_)
             Vy = _freeze_rows(c.Vy, Vy_new, 1, fy, ly_)
             Vx, Vy = _flow_bcs_local(Vx, Vy, flow_bc, fx, lx_, fy, ly_)

@@ -30,7 +30,7 @@ from jax.sharding import PartitionSpec as P
 
 from justrelax_tpu.core.coeffs import PTStokesCoeffs
 from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions
-from justrelax_tpu.ops.stencil import maxloc
+from justrelax_tpu.ops.stencil import interior_add, maxloc
 from justrelax_tpu.parallel import halo
 from justrelax_tpu.parallel.decomp import Decomp3D
 
@@ -305,9 +305,9 @@ def solve_ve_sharded_3d(
             etax = 0.5 * (etat_x[1:, :, :] + etat_x[:-1, :, :])
             etay = 0.5 * (etat_y[:, 1:, :] + etat_y[:, :-1, :])
             etaz = 0.5 * (etat_z[:, :, 1:] + etat_z[:, :, :-1])
-            Vx_n = Vx.at[:, 1:-1, 1:-1].add(Rx * etadtau / etax)
-            Vy_n = Vy.at[1:-1, :, 1:-1].add(Ry * etadtau / etay)
-            Vz_n = Vz.at[1:-1, 1:-1, :].add(Rz * etadtau / etaz)
+            Vx_n = interior_add(Vx, Rx * etadtau / etax, pads=((0, 0), (1, 1), (1, 1)))
+            Vy_n = interior_add(Vy, Ry * etadtau / etay, pads=((1, 1), (0, 0), (1, 1)))
+            Vz_n = interior_add(Vz, Rz * etadtau / etaz, pads=((1, 1), (1, 1), (0, 0)))
             Vx = _freeze(Vx, Vx_n, 0, *edges[0])
             Vy = _freeze(Vy, Vy_n, 1, *edges[1])
             Vz = _freeze(Vz, Vz_n, 2, *edges[2])

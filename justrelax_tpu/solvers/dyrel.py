@@ -35,7 +35,7 @@ from jax import lax
 
 from justrelax_tpu.core.state import StokesState
 from justrelax_tpu.ops.bc import VelocityBoundaryConditions, flow_bcs
-from justrelax_tpu.ops.stencil import av_a, expand_edges
+from justrelax_tpu.ops.stencil import av_a, expand_edges, interior_add
 from justrelax_tpu.rheology.materials import (
     _as_stack,
     get_bulk_modulus,
@@ -385,8 +385,8 @@ def solve_dyrel(
         Ry = Ry / c.Dy_f
         dVx = ax * c.dVx + Rx
         dVy = ay * c.dVy + Ry
-        Vx = c.Vx.at[1:-1, 1:-1].add(dVx * bx * dtx)
-        Vy = c.Vy.at[1:-1, 1:-1].add(dVy * by * dty)
+        Vx = interior_add(c.Vx, dVx * bx * dtx)
+        Vy = interior_add(c.Vy, dVy * by * dty)
         Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
         return c._replace(
             Vx=Vx, Vy=Vy, lam=out_c[7], lam_v=out_v[7], dVx=dVx, dVy=dVy,

@@ -24,7 +24,7 @@ from justrelax_tpu.core.state import StokesState
 from justrelax_tpu.ops import stokes as kernels
 from justrelax_tpu.ops.bc import VelocityBoundaryConditions, flow_bcs
 from justrelax_tpu.ops.rock_ratio import RockRatio, valid_masks
-from justrelax_tpu.ops.stencil import av_a, maxloc
+from justrelax_tpu.ops.stencil import av_a, interior_add, interior_set, maxloc
 from justrelax_tpu.ops.stokes_vep import update_stresses_center_vertex
 from justrelax_tpu.rheology.materials import (
     compute_density,
@@ -195,15 +195,21 @@ def solve_variational(
         Rx, Ry = masked_momentum(P_new, txx, tyy, txy_v, rho_gx, rho_gy)
         etax = 0.5 * (eta_tau[1:, :] + eta_tau[:-1, :])
         etay = 0.5 * (eta_tau[:, 1:] + eta_tau[:, :-1])
-        Vx = c.Vx.at[1:-1, 1:-1].add(
-            jnp.where(vm.vx[1:-1, :], Rx * etadtau / etax, 0.0)
+        # fused masked add + invalid-face hard-zeroing (reference
+        # compute_V!:195-215); mask+select instead of slab .at updates —
+        # see ops/stencil.py::interior_set (3x on v5e)
+        Vx = interior_set(
+            c.Vx,
+            jnp.where(
+                vm.vx[1:-1, :], c.Vx[1:-1, 1:-1] + Rx * etadtau / etax, 0.0
+            ),
         )
-        Vy = c.Vy.at[1:-1, 1:-1].add(
-            jnp.where(vm.vy[:, 1:-1], Ry * etadtau / etay, 0.0)
+        Vy = interior_set(
+            c.Vy,
+            jnp.where(
+                vm.vy[:, 1:-1], c.Vy[1:-1, 1:-1] + Ry * etadtau / etay, 0.0
+            ),
         )
-        # invalid faces are hard-zeroed (reference compute_V!:195-215)
-        Vx = Vx.at[1:-1, 1:-1].set(jnp.where(vm.vx[1:-1, :], Vx[1:-1, 1:-1], 0.0))
-        Vy = Vy.at[1:-1, 1:-1].set(jnp.where(vm.vy[:, 1:-1], Vy[1:-1, 1:-1], 0.0))
         Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
         return c._replace(
             Vx=Vx, Vy=Vy, P=P_new, theta=theta,

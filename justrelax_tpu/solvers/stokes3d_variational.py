@@ -26,7 +26,7 @@ from justrelax_tpu.core.state import StokesState
 from justrelax_tpu.ops import stokes3d as k3
 from justrelax_tpu.ops.bc import VelocityBoundaryConditions, flow_bcs
 from justrelax_tpu.ops.rock_ratio import RockRatio3D, valid_masks_3d
-from justrelax_tpu.ops.stencil import maxloc
+from justrelax_tpu.ops.stencil import interior_set, maxloc
 from justrelax_tpu.ops.stokes import compute_P
 from justrelax_tpu.solvers.stokes2d import StokesSolveInfo, _norm
 
@@ -152,24 +152,29 @@ def solve_variational_3d(
         etax = 0.5 * (eta_tau[1:, :, :] + eta_tau[:-1, :, :])
         etay = 0.5 * (eta_tau[:, 1:, :] + eta_tau[:, :-1, :])
         etaz = 0.5 * (eta_tau[:, :, 1:] + eta_tau[:, :, :-1])
-        Vx = Vx.at[1:-1, 1:-1, 1:-1].add(
-            jnp.where(vm.vx[1:-1, :, :], Rx * etadtau / etax, 0.0)
+        # fused masked add + invalid-face hard-zeroing (reference
+        # compute_V! masked form); mask+select instead of slab .at updates —
+        # see ops/stencil.py::interior_set (3x on v5e)
+        Vx = interior_set(
+            Vx,
+            jnp.where(
+                vm.vx[1:-1, :, :],
+                Vx[1:-1, 1:-1, 1:-1] + Rx * etadtau / etax, 0.0,
+            ),
         )
-        Vy = Vy.at[1:-1, 1:-1, 1:-1].add(
-            jnp.where(vm.vy[:, 1:-1, :], Ry * etadtau / etay, 0.0)
+        Vy = interior_set(
+            Vy,
+            jnp.where(
+                vm.vy[:, 1:-1, :],
+                Vy[1:-1, 1:-1, 1:-1] + Ry * etadtau / etay, 0.0,
+            ),
         )
-        Vz = Vz.at[1:-1, 1:-1, 1:-1].add(
-            jnp.where(vm.vz[:, :, 1:-1], Rz * etadtau / etaz, 0.0)
-        )
-        # invalid faces hard-zeroed (reference compute_V! masked form)
-        Vx = Vx.at[1:-1, 1:-1, 1:-1].set(
-            jnp.where(vm.vx[1:-1, :, :], Vx[1:-1, 1:-1, 1:-1], 0.0)
-        )
-        Vy = Vy.at[1:-1, 1:-1, 1:-1].set(
-            jnp.where(vm.vy[:, 1:-1, :], Vy[1:-1, 1:-1, 1:-1], 0.0)
-        )
-        Vz = Vz.at[1:-1, 1:-1, 1:-1].set(
-            jnp.where(vm.vz[:, :, 1:-1], Vz[1:-1, 1:-1, 1:-1], 0.0)
+        Vz = interior_set(
+            Vz,
+            jnp.where(
+                vm.vz[:, :, 1:-1],
+                Vz[1:-1, 1:-1, 1:-1] + Rz * etadtau / etaz, 0.0,
+            ),
         )
         Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), flow_bc)
         return C(

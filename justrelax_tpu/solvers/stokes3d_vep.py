@@ -22,7 +22,7 @@ from justrelax_tpu.core.coeffs import PTStokesCoeffs
 from justrelax_tpu.core.state import StokesState
 from justrelax_tpu.ops import stokes3d as k3
 from justrelax_tpu.ops.bc import VelocityBoundaryConditions, flow_bcs
-from justrelax_tpu.ops.stencil import maxloc
+from justrelax_tpu.ops.stencil import interior_set, maxloc
 from justrelax_tpu.ops.stokes import compute_P
 from justrelax_tpu.ops.stokes3d_vep import (
     _edge_to_center,
@@ -235,23 +235,29 @@ def solve_vep_3d(
             etax = 0.5 * (eta_tau[1:, :, :] + eta_tau[:-1, :, :])
             etay = 0.5 * (eta_tau[:, 1:, :] + eta_tau[:, :-1, :])
             etaz = 0.5 * (eta_tau[:, :, 1:] + eta_tau[:, :, :-1])
-            Vx = Vx.at[1:-1, 1:-1, 1:-1].add(
-                jnp.where(vm.vx[1:-1, :, :], Rx * etadtau / etax, 0.0)
+            # fused masked add + invalid-face zeroing (mask+select idiom —
+            # misaligned-slab .at updates are ~3x slower on TPU, see
+            # ops/stencil.py::interior_add)
+            Vx = interior_set(
+                Vx,
+                jnp.where(
+                    vm.vx[1:-1, :, :],
+                    Vx[1:-1, 1:-1, 1:-1] + Rx * etadtau / etax, 0.0,
+                ),
             )
-            Vy = Vy.at[1:-1, 1:-1, 1:-1].add(
-                jnp.where(vm.vy[:, 1:-1, :], Ry * etadtau / etay, 0.0)
+            Vy = interior_set(
+                Vy,
+                jnp.where(
+                    vm.vy[:, 1:-1, :],
+                    Vy[1:-1, 1:-1, 1:-1] + Ry * etadtau / etay, 0.0,
+                ),
             )
-            Vz = Vz.at[1:-1, 1:-1, 1:-1].add(
-                jnp.where(vm.vz[:, :, 1:-1], Rz * etadtau / etaz, 0.0)
-            )
-            Vx = Vx.at[1:-1, 1:-1, 1:-1].set(
-                jnp.where(vm.vx[1:-1, :, :], Vx[1:-1, 1:-1, 1:-1], 0.0)
-            )
-            Vy = Vy.at[1:-1, 1:-1, 1:-1].set(
-                jnp.where(vm.vy[:, 1:-1, :], Vy[1:-1, 1:-1, 1:-1], 0.0)
-            )
-            Vz = Vz.at[1:-1, 1:-1, 1:-1].set(
-                jnp.where(vm.vz[:, :, 1:-1], Vz[1:-1, 1:-1, 1:-1], 0.0)
+            Vz = interior_set(
+                Vz,
+                jnp.where(
+                    vm.vz[:, :, 1:-1],
+                    Vz[1:-1, 1:-1, 1:-1] + Rz * etadtau / etaz, 0.0,
+                ),
             )
         Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), flow_bc)
         return c._replace(

@@ -310,11 +310,14 @@ def thermal2d(nx=1024, ny=1024, dtype=jnp.float32):
 # --------------------------------------------------------------------------
 # 3D visco-elastic Stokes
 # --------------------------------------------------------------------------
-def ve3d(n=128, dtype=jnp.float32):
+def ve3d(n=126, dtype=jnp.float32):
     """One 3D VE Stokes PT iteration (solvers/stokes3d.py one_iteration).
 
     Traffic: unknowns (R+W) V×3, P, τ×6 → 20·N; read-only η, ητ, G, K, P0,
     Q, f×3, τ_o×6 → 15·N. A_eff = 35·N·4 B.
+
+    n=126 keeps every staggered array's minor dim ≤ 128 (one lane tile);
+    n=128 pads the (n+2)-sized V minors to 256 lanes — measured 1.7× slower.
     """
     from justrelax_tpu.core.coeffs import PTStokesCoeffs
     from justrelax_tpu.core.grid import Geometry

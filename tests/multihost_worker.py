@@ -2,7 +2,7 @@
 4-CPU-device distributed VE Stokes solve (the reference's ``mpiexec -n 2``
 tier, test/runtests.jl:48-89). Spawned as:
 
-    python multihost_worker.py <process_id> <out.npz>
+    python multihost_worker.py <process_id> <out.npz> <coordinator_port>
 
 Process 0 writes the gathered global fields to <out.npz>.
 """
@@ -14,6 +14,7 @@ import sys
 def main():
     pid = int(sys.argv[1])
     out_path = sys.argv[2]
+    port = int(sys.argv[3]) if len(sys.argv) > 3 else 47552
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -23,7 +24,7 @@ def main():
 
     from justrelax_tpu.parallel import multihost
 
-    multihost.initialize("127.0.0.1:47552", num_processes=2, process_id=pid)
+    multihost.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
     assert jax.process_count() == 2 and len(jax.devices()) == 8
 
     import math

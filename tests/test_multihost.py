@@ -31,6 +31,13 @@ WORKER = Path(__file__).parent / "multihost_worker.py"
 def test_two_process_solve_matches_serial(tmp_path):
     out = tmp_path / "mh.npz"
     import os
+    import socket
+
+    # pick a free coordinator port (a fixed port flakes when the suite runs
+    # alongside other processes or a previous run's socket is in TIME_WAIT)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
 
     env = {
         k: v for k, v in os.environ.items()
@@ -40,7 +47,7 @@ def test_two_process_solve_matches_serial(tmp_path):
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(pid), str(out)],
+            [sys.executable, str(WORKER), str(pid), str(out), str(port)],
             env=env, cwd=repo_root,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
