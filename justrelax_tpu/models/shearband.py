@@ -135,3 +135,128 @@ def run(n=32, nt=10, eps_bg=1.0, dtype=None, displacement_driven=False,
 
     tau_II = tensor_invariant_staggered_2d(stokes.tau.xx, stokes.tau.yy, stokes.tau.xy)
     return stokes, info, tau_max_hist, sol_hist, tau_II
+
+
+def run_softening(n=32, nt=5, eps_bg=1.0):
+    """Nonlinear-cohesion-softening shear band
+    (reference test_shearband2D_softening.jl:63-206): the base shearband with
+    ``soft_C = NonLinearSoftening(ξ₀=τ_y, Δ=τ_y/2)`` on both phases and
+    dt = Maxwell/4/5 over 5 steps. Goldens (:201-205):
+      max(τxx) at last step ≈ 0.466   atol 1e-3
+      analytic VE curve at t=0.25 ≈ 0.4423  atol 1e-4
+      final residual < 1e-6
+    (At t = 0.25 the stress is far below yield, so the goldens pin the
+    softened-plasticity plumbing on the elastic loading path.)"""
+    ni = (n, n)
+    geometry = Geometry(ni, (1.0, 1.0))
+    xci, xvi = geometry.xci, geometry.xvi
+
+    tau_y = 1.6
+    phi = 30.0
+    eta0, G0 = 1.0, 1.0
+    Gi = G0 / (6.0 - 4.0)
+    eta_reg = 8.0e-3
+    dt = eta0 / G0 / 4.0 / 5.0
+    C = tau_y / math.cos(math.radians(phi))
+
+    common = dict(
+        rho0=0.0, Kb=4.0, eta0=eta0, is_plastic=1.0, C=C,
+        friction_angle=phi, eta_reg=eta_reg,
+        # GeoParams NonLinearSoftening(ξ₀=τ_y, Δ=τ_y/2) (:99)
+        soft_C_nl=1.0, soft_C_nl_xi0=tau_y, soft_C_nl_delta=tau_y / 2.0,
+    )
+    material = MaterialStack.make(
+        [Material(G=G0, **common), Material(G=Gi, **common)]
+    )
+
+    radius = 0.1
+    pr_center = jnp.asarray(_circle_phase_ratios(xci[0], xci[1], (0.5, 0.5), radius))
+    pr_vertex = jnp.asarray(_circle_phase_ratios(xvi[0], xvi[1], (0.5, 0.5), radius))
+
+    stokes = StokesState.make(ni)
+    dt_f = stokes.P.dtype
+    pt_stokes = PTStokesCoeffs.make(
+        geometry.li, geometry.di, eps_rel=1.0e-6, CFL=0.75 / math.sqrt(2.1)
+    )
+    xv = jnp.asarray(xvi[0], dt_f)
+    yv = jnp.asarray(xvi[1], dt_f)
+    Vx = jnp.broadcast_to((eps_bg * xv)[:, None], (n + 1, n + 2))
+    Vy = jnp.broadcast_to((-eps_bg * yv)[None, :], (n + 2, n + 1))
+    flow_bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
+    stokes = stokes.replace(V=stokes.V.replace(Vx=Vx, Vy=Vy))
+
+    t = 0.0
+    tau_max_hist, sol_hist = [], []
+    info = None
+    for _ in range(nt):
+        stokes, info = solve_vep(
+            stokes, pt_stokes, geometry, flow_bc, material,
+            pr_center, pr_vertex, dt, iter_max=50_000, nout=100,
+        )
+        tau_max_hist.append(float(stokes.tau.xx.max()))
+        t += dt
+        sol_hist.append(2.0 * eps_bg * eta0 * (1.0 - math.exp(-G0 * t / eta0)))
+    return stokes, info, tau_max_hist, sol_hist
+
+
+def run_dpcap(n=32, nt=10):
+    """Dilatant Drucker-Prager(-Cap) shear band
+    (reference test_shearband2D_DPCap.jl:59-202): ψ = 3° activates the
+    volumetric plastic path (ε_vol_pl = −λ·∂Q/∂P ≥ 0, EVol_pl accumulation).
+    The reference checks an envelope (:189-201): convergence < 1e-5,
+    τII_max finite and < 2, ε_pl_max > 0, EVol_max > 0, ε_vol_pl ≥ 0.
+    The tension cap (pT = −0.5) is what brings yield into reach in this
+    scenario — the plain cone never yields in 10 steps (τII_max ≈ 1.46 <
+    C·cosϕ + P·sinϕ); see plasticity._tension_cap_yield."""
+    ni = (n, n)
+    geometry = Geometry(ni, (1.0, 1.0))
+    xci, xvi = geometry.xci, geometry.xvi
+
+    tau_y = 1.6
+    phi, psi = 30.0, 3.0
+    eta0, G0 = 1.0, 1.0
+    Gi = G0 / 2.0
+    eta_reg = 1.0e-3
+    dt = eta0 / G0 / 8.0
+    C = tau_y / math.cos(math.radians(phi))
+
+    common = dict(
+        rho0=0.0, Kb=4.0, eta0=eta0, is_plastic=1.0, C=C,
+        friction_angle=phi, dilation_angle=psi, eta_reg=eta_reg,
+        tension_pT=-0.5,
+    )
+    material = MaterialStack.make(
+        [Material(G=G0, **common), Material(G=Gi, **common)]
+    )
+
+    radius = 0.1
+    pr_center = jnp.asarray(_circle_phase_ratios(xci[0], xci[1], (0.5, 0.5), radius))
+    pr_vertex = jnp.asarray(_circle_phase_ratios(xvi[0], xvi[1], (0.5, 0.5), radius))
+
+    stokes = StokesState.make(ni)
+    dt_f = stokes.P.dtype
+    pt_stokes = PTStokesCoeffs.make(
+        geometry.li, geometry.di,
+        eps_abs=1.0e-6, eps_rel=1.0e-6, CFL=0.95 / math.sqrt(2.1),
+    )
+    xv = jnp.asarray(xvi[0], dt_f)
+    yv = jnp.asarray(xvi[1], dt_f)
+    Vx = jnp.broadcast_to(xv[:, None], (n + 1, n + 2))
+    Vy = jnp.broadcast_to((-yv)[None, :], (n + 2, n + 1))
+    flow_bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
+    stokes = stokes.replace(V=stokes.V.replace(Vx=Vx, Vy=Vy))
+
+    info = None
+    for _ in range(nt):
+        stokes, info = solve_vep(
+            stokes, pt_stokes, geometry, flow_bc, material,
+            pr_center, pr_vertex, dt, iter_max=50_000, nout=1000,
+        )
+    tau_II = tensor_invariant_staggered_2d(stokes.tau.xx, stokes.tau.yy, stokes.tau.xy)
+    return stokes, info, tau_II

@@ -22,7 +22,11 @@ from typing import Any, NamedTuple
 import jax.numpy as jnp
 
 from justrelax_tpu.rheology.materials import get_bulk_modulus, get_shear_modulus
-from justrelax_tpu.rheology.plasticity import plastic_params_phase, yield_function
+from justrelax_tpu.rheology.plasticity import (
+    flow_gradients_P,
+    plastic_params_phase,
+    yield_function,
+)
 
 Array = Any
 
@@ -240,8 +244,7 @@ def update_stresses_center_edges_3d(
         trial6 = tuple(t6[i] + d6[i] for i in range(6))
         tau_II_e = _inv_II(trial6)
 
-        dQdP_e = -ppe.sinpsi
-        dFdP_e = -ppe.sinphi
+        dFdP_e, dQdP_e = flow_gradients_P(ppe, Pv, tau_II_e)
         volume_e = jnp.where(jnp.isinf(K_e), 0.0, K_e * dt * dFdP_e * dQdP_e)
         F_e = yield_function(ppe, Pv, tau_II_e)
         yield_e = ppe.is_pl & (tau_II_e != 0.0) & (F_e > 0.0)
@@ -281,8 +284,7 @@ def update_stresses_center_edges_3d(
     trial = tuple(tau_c6[i] + d6c[i] for i in range(6))
     tau_II_t = _inv_II(trial)
 
-    dQdP = -ppc.sinpsi
-    dFdP = -ppc.sinphi
+    dFdP, dQdP = flow_gradients_P(ppc, Pr, tau_II_t)
     volume = jnp.where(jnp.isinf(K_c), 0.0, K_c * dt * dFdP * dQdP)
     F = yield_function(ppc, Pr, tau_II_t)
     yield_c = ppc.is_pl & (tau_II_t != 0.0) & (F > 0.0)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from justrelax_tpu.ops.stencil import av_a, expand_edges, harm_a
 from justrelax_tpu.rheology.materials import get_bulk_modulus, get_shear_modulus
 from justrelax_tpu.rheology.plasticity import (
+    flow_gradients_P,
     plastic_params_phase,
     second_invariant,
     yield_function,
@@ -101,8 +102,7 @@ def update_stresses_center_vertex(
     txy_trial_v = txy_v + dtxy_v
     tau_II_v = second_invariant(txx_v + dtxx_v, tyy_v + dtyy_v, txy_trial_v)
 
-    dQdP_v = -ppv.sinpsi
-    dFdP_v = -ppv.sinphi
+    dFdP_v, dQdP_v = flow_gradients_P(ppv, Pv, tau_II_v)
     volume_v = jnp.where(jnp.isinf(K_v), 0.0, K_v * dt * dFdP_v * dQdP_v)
     F_v = yield_function(ppv, Pv, tau_II_v)
 
@@ -132,8 +132,7 @@ def update_stresses_center_vertex(
     txx_t, tyy_t, txy_t = txx + dtxx, tyy + dtyy, txy_c + dtxy
     tau_II_t = second_invariant(txx_t, tyy_t, txy_t)
 
-    dQdP = -ppc.sinpsi
-    dFdP = -ppc.sinphi
+    dFdP, dQdP = flow_gradients_P(ppc, Pr, tau_II_t)
     volume = jnp.where(jnp.isinf(K_c), 0.0, K_c * dt * dFdP * dQdP)
     F = yield_function(ppc, Pr, tau_II_t)
 

@@ -86,6 +86,9 @@ class Material:
     friction_angle: Array = 0.0  # φ [degrees]
     dilation_angle: Array = 0.0  # ψ [degrees]
     eta_reg: Array = 0.0  # Kelvin viscoplastic regularization η_vp
+    # tension cap: elliptic closure of the DP cone at P = pT < 0 (GeoParams
+    # DruckerPragerCap pT; 0 disables — see plasticity._tension_cap_yield)
+    tension_pT: Array = 0.0
     # linear softening of C / φ to (soft_*_min) over EII ∈ [lo, hi]
     soft_C_active: Array = 0.0
     soft_C_min: Array = 0.0
@@ -93,6 +96,19 @@ class Material:
     soft_phi_min: Array = 0.0
     soft_strain_lo: Array = 0.0
     soft_strain_hi: Array = 1.0
+    # nonlinear cohesion softening (GeoParams ``NonLinearSoftening``; used by
+    # the reference softening shearband, test_shearband2D_softening.jl:99-105,
+    # and the caldera/blob miniapps): the softened cohesion is derived from
+    # ξ₀ alone — the functor IGNORES the phase's C — decaying from ξ₀ toward
+    # ξ₀ − Δ with accumulated plastic strain. GeoParams v0.7.17's exact decay
+    # constant is not retrievable here (PARITY.md); we use an exponential
+    # decay over the scale ``soft_C_nl_eps_ref`` (the reference golden test
+    # never accumulates enough strain for the shape to matter — yield onset
+    # is controlled by ξ(0) = ξ₀ alone).
+    soft_C_nl: Array = 0.0  # 0 disables
+    soft_C_nl_xi0: Array = 0.0
+    soft_C_nl_delta: Array = 0.0
+    soft_C_nl_eps_ref: Array = 1.0e-2
     # gravity (magnitude, applied along the last axis, pointing "down")
     gravity: Array = 0.0
 

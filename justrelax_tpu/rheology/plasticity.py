@@ -30,6 +30,7 @@ __all__ = [
     "PlasticParams",
     "plastic_params_phase",
     "yield_function",
+    "flow_gradients_P",
     "second_invariant",
     "DruckerPragerCap",
     "plastic_gradients",
@@ -45,6 +46,7 @@ class PlasticParams(NamedTuple):
     cosphi: Array  # Σ_pl r·cosϕ
     sinpsi: Array  # Σ_pl r·sinψ
     eta_reg: Array  # Σ_pl r·η_reg
+    pT: Array  # Σ_pl r·pT tension-cap closure pressure (0 = no cap)
 
 
 def _soften(val, min_v, slope_active, lo, hi, EII):
@@ -71,6 +73,14 @@ def plastic_params_phase(material, EII: Array, phase_ratios: Optional[Array]) ->
         _bcast(m.soft_strain_hi, EII),
         EII[..., None],
     )
+    # GeoParams NonLinearSoftening: softened cohesion derived from ξ₀ alone
+    # (the functor ignores the phase's C; reference soften_cohesion,
+    # StressUpdate.jl:316-326), decaying ξ₀ → ξ₀ − Δ with plastic strain
+    nl_xi0 = _bcast(m.soft_C_nl_xi0, EII)
+    nl_delta = _bcast(m.soft_C_nl_delta, EII)
+    nl_eps = jnp.maximum(_bcast(m.soft_C_nl_eps_ref, EII), 1e-30)
+    C_nl = nl_xi0 - nl_delta * (1.0 - jnp.exp(-EII[..., None] / nl_eps))
+    C_p = jnp.where(_bcast(m.soft_C_nl, EII) > 0, C_nl, C_p)
     phi_p = _soften(
         phi_p,
         _bcast(m.soft_phi_min, EII),
@@ -98,12 +108,56 @@ def plastic_params_phase(material, EII: Array, phase_ratios: Optional[Array]) ->
         cosphi=jnp.sum(rw * cosphi_p, axis=-1),
         sinpsi=jnp.sum(rw * sinpsi_p, axis=-1),
         eta_reg=jnp.sum(rw * eta_reg_p, axis=-1),
+        pT=jnp.sum(rw * _bcast(m.tension_pT, EII), axis=-1),
     )
 
 
+def _tension_cap_yield(pp: PlasticParams, P: Array):
+    """Tension-cap yield stress: elliptic closure of the DP cone at P = pT.
+
+    GeoParams ``DruckerPragerCap(pT=...)`` (used by the reference's DPCap
+    shearband, test_shearband2D_DPCap.jl:93-99, and the caldera miniapps)
+    closes the yield envelope on the tension side; its exact v0.7.17 internals
+    are not retrievable here (PARITY.md). We use the standard elliptic cap
+    dropping from the cone's P=0 intercept C·cosϕ to zero strength at
+    P = pT < 0:
+
+        τ_cap(P) = C·cosϕ · √(1 − (P/pT)²)        (pT ≤ P < 0)
+
+    and the active surface is min(cone, cap) on the tension side (P < 0);
+    the compression cone is untouched. This reproduces the reference
+    scenario's envelope (yield onset at P < 0 near the inclusion, dilation
+    ε_vol_pl ≥ 0 via associated flow on the cap)."""
+    ratio = jnp.clip(P / jnp.where(pp.pT == 0.0, -jnp.inf, pp.pT), 0.0, 1.0)
+    cap = pp.C_cosphi * jnp.sqrt(jnp.maximum(1.0 - ratio**2, 0.0))
+    return jnp.where(P < 0.0, cap, jnp.inf)
+
+
 def yield_function(pp: PlasticParams, P: Array, tau_II: Array) -> Array:
-    """Phase-weighted Drucker-Prager yield: F = τII − Σ_pl r(C cosϕ + P sinϕ)."""
-    return tau_II - pp.C_cosphi - P * pp.sinphi
+    """Phase-weighted Drucker-Prager yield: F = τII − Σ_pl r(C cosϕ + P sinϕ);
+    with a tension cap (``pT`` < 0) the envelope is min(cone, cap)."""
+    tau_cone = pp.C_cosphi + P * pp.sinphi
+    tau_y = jnp.minimum(tau_cone, _tension_cap_yield(pp, P))
+    return tau_II - tau_y
+
+
+def flow_gradients_P(pp: PlasticParams, P: Array, tau_II: Array):
+    """(∂F/∂P, ∂Q/∂P) of the active surface: cone (−sinϕ, −sinψ) or, where
+    the tension cap is lower, the associated cap gradient
+    ∂F/∂P = −dτ_cap/dP = C·cosϕ·(P/pT²)/√(1−(P/pT)²) (< 0 at P < 0 →
+    dilation via ε_vol_pl = −λ·∂Q/∂P ≥ 0)."""
+    dFdP_cone = -pp.sinphi
+    dQdP_cone = -pp.sinpsi
+    pT = jnp.where(pp.pT == 0.0, -jnp.inf, pp.pT)
+    ratio = jnp.clip(P / pT, 0.0, 1.0)
+    root = jnp.sqrt(jnp.maximum(1.0 - ratio**2, 1e-12))
+    dFdP_cap = pp.C_cosphi * P / jnp.where(
+        jnp.isinf(pT), jnp.inf, pT**2
+    ) / root
+    on_cap = _tension_cap_yield(pp, P) < (pp.C_cosphi + P * pp.sinphi)
+    dFdP = jnp.where(on_cap, dFdP_cap, dFdP_cone)
+    dQdP = jnp.where(on_cap, dFdP_cap, dQdP_cone)  # associated on the cap
+    return dFdP, dQdP
 
 
 def second_invariant(xx, yy, xy):

@@ -166,9 +166,18 @@ def _local_stress(eps_ij, tau_o_ij, eta, P, lam, lam_relax, material, pr, dt, EI
         tyy = 2.0 * eta_ve * eyy_e
         txy = 2.0 * eta_ve * exy_e
         tII = second_invariant(txx, tyy, txy)
-        F = tII - C * cphi - P * sphi
-        dQdP = -spsi
-        dFdP = -sphi
+        # DP cone, optionally closed by the elliptic tension cap at P = pT
+        # (GeoParams DruckerPragerCap; see plasticity._tension_cap_yield)
+        tau_cone = C * cphi + P * sphi
+        pT = jnp.where(m.tension_pT[p] == 0.0, -jnp.inf, m.tension_pT[p])
+        ratio = jnp.clip(P / pT, 0.0, 1.0)
+        root = jnp.sqrt(jnp.maximum(1.0 - ratio**2, 1e-12))
+        tau_cap = jnp.where(P < 0.0, C * cphi * root, jnp.inf)
+        on_cap = tau_cap < tau_cone
+        F = tII - jnp.minimum(tau_cone, tau_cap)
+        dFdP_cap = C * cphi * P / jnp.where(jnp.isinf(pT), jnp.inf, pT**2) / root
+        dQdP = jnp.where(on_cap, dFdP_cap, -spsi)
+        dFdP = jnp.where(on_cap, dFdP_cap, -sphi)
         vol = jnp.where(jnp.isinf(Kb), 0.0, Kb * dt * dFdP * dQdP)
         yielding = is_pl & (F >= 0.0) & live
         lam_new = lam_relax * (F / (eta_ve + eta_reg + vol)) + (1.0 - lam_relax) * lam

@@ -190,3 +190,71 @@ def test_compute_diffusivity():
     r2 = jnp.full((4, 4, 2), 0.5)
     kappa2 = compute_diffusivity(m, T=T, phase_ratios=r2)
     np.testing.assert_allclose(np.asarray(kappa2), 2.5 / (2.5e3 * 1000.0))
+
+
+def test_nonlinear_softening_cohesion():
+    """GeoParams NonLinearSoftening semantics: softened C derived from ξ₀
+    alone (the phase's C is ignored), decaying ξ₀ → ξ₀ − Δ with EII."""
+    import jax.numpy as jnp
+
+    from justrelax_tpu.rheology.materials import Material, MaterialStack
+    from justrelax_tpu.rheology.plasticity import plastic_params_phase
+
+    mat = MaterialStack.make([Material(
+        is_plastic=1.0, C=123.0, friction_angle=0.0,
+        soft_C_nl=1.0, soft_C_nl_xi0=1.6, soft_C_nl_delta=0.8,
+    )])
+    pp0 = plastic_params_phase(mat, jnp.zeros((4, 4)), None)
+    # at EII=0 the softened cohesion is ξ₀, NOT the phase C (cosϕ=1 here)
+    assert float(pp0.C_cosphi[0, 0]) == 1.6
+    pp_inf = plastic_params_phase(mat, jnp.full((4, 4), 1e3), None)
+    assert float(pp_inf.C_cosphi[0, 0]) == pytest.approx(0.8, abs=1e-12)
+    # monotone decay
+    pp_mid = plastic_params_phase(mat, jnp.full((4, 4), 1e-2), None)
+    assert 0.8 < float(pp_mid.C_cosphi[0, 0]) < 1.6
+
+
+def test_tension_cap_yield_and_gradients():
+    """Tension cap: min(cone, cap), zero strength at P = pT, dilation
+    (∂Q/∂P < 0) on the cap with associated flow."""
+    import jax.numpy as jnp
+
+    from justrelax_tpu.rheology.materials import Material, MaterialStack
+    from justrelax_tpu.rheology.plasticity import (
+        flow_gradients_P,
+        plastic_params_phase,
+        yield_function,
+    )
+
+    mat = MaterialStack.make([Material(
+        is_plastic=1.0, C=1.6 / jnp.cos(jnp.deg2rad(30.0)),
+        friction_angle=30.0, dilation_angle=3.0, tension_pT=-0.5,
+    )])
+    P = jnp.asarray([0.4, 0.0, -0.3, -0.5])
+    pp = plastic_params_phase(mat, jnp.zeros_like(P), None)
+    tau = jnp.zeros_like(P)
+    F = yield_function(pp, P, tau)
+    tau_y = -F  # τ_yield since τII = 0
+    # compression: cone C·cosϕ + P·sinϕ
+    assert float(tau_y[0]) == pytest.approx(1.6 + 0.4 * 0.5, abs=1e-12)
+    # P = 0: cap == cone == C·cosϕ (continuous closure)
+    assert float(tau_y[1]) == pytest.approx(1.6, abs=1e-12)
+    # tension side: elliptic drop below the cone
+    assert float(tau_y[2]) == pytest.approx(1.6 * (1 - (0.3 / 0.5) ** 2) ** 0.5, abs=1e-12)
+    # zero strength at the closure pressure
+    assert float(tau_y[3]) == pytest.approx(0.0, abs=1e-5)
+    dFdP, dQdP = flow_gradients_P(pp, P, tau)
+    # cone gradients in compression
+    assert float(dFdP[0]) == pytest.approx(-0.5, abs=1e-12)
+    assert float(dQdP[0]) == pytest.approx(-float(jnp.sin(jnp.deg2rad(3.0))), abs=1e-12)
+    # associated dilatant flow on the cap: dQdP = dFdP < −sinϕ side
+    assert float(dQdP[2]) < 0.0
+    assert float(dFdP[2]) == pytest.approx(float(dQdP[2]))
+    # cap disabled (pT=0 sentinel): pure cone everywhere
+    mat0 = MaterialStack.make([Material(
+        is_plastic=1.0, C=1.0, friction_angle=30.0,
+    )])
+    pp0 = plastic_params_phase(mat0, jnp.zeros_like(P), None)
+    F0 = yield_function(pp0, P, tau)
+    cone = pp0.C_cosphi + P * pp0.sinphi
+    assert jnp.allclose(-F0, cone)

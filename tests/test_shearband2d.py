@@ -38,3 +38,36 @@ def test_shearband2d_yields_band():
     stokes, *_ = shearband.run(n=32, nt=10)
     EII = np.asarray(stokes.EII_pl)
     assert EII.max() > 2.0 * np.median(EII)
+
+
+@pytest.mark.slow
+def test_shearband2d_softening():
+    """NonLinearSoftening golden values
+    (reference test_shearband2D_softening.jl:199-205). These pass at the
+    reference's own tolerances (measured Δ ≈ 1.4e-4): at t = 0.25 the stress
+    is pre-yield, so they pin the softened-plasticity plumbing on the elastic
+    loading path."""
+    stokes, info, tau_max, sol = shearband.run_softening(n=32, nt=5)
+    assert float(info.err) < 1.0e-6
+    assert tau_max[-1] == pytest.approx(0.466, abs=1.0e-3)
+    assert sol[-1] == pytest.approx(0.4423, abs=1.0e-4)
+    # pre-yield: no plastic strain accumulates in 5 steps
+    assert float(np.asarray(stokes.EII_pl).max()) == 0.0
+
+
+@pytest.mark.slow
+def test_shearband2d_dpcap():
+    """Dilatant DP + tension cap envelope
+    (reference test_shearband2D_DPCap.jl:186-201)."""
+    stokes, info, tau_II = shearband.run_dpcap(n=32, nt=10)
+    assert float(info.err) < 1.0e-5
+    tmax = float(np.asarray(tau_II).max())
+    assert np.isfinite(tmax) and tmax < 2.0
+    # plastic strain on the (tension-cap) yield surface
+    eps_pl = np.abs(np.asarray(stokes.eps_pl.xx))
+    assert eps_pl.max() > 0.0
+    # volumetric plastic accumulator and dilation (ε_vol_pl = −λ·∂Q/∂P ≥ 0)
+    assert float(np.abs(np.asarray(stokes.EVol_pl)).max()) > 0.0
+    ev = np.asarray(stokes.eps_vol_pl)
+    assert ev.min() >= 0.0
+    assert ev.max() > 0.0
