@@ -40,9 +40,19 @@ Array = Any
 __all__ = ["stokes_chunk_vmem", "vmem_bytes_needed"]
 
 
+VMEM_BUDGET = 100 * 1024 * 1024  # raised scoped-VMEM limit (see pallas_call)
+
+
 def vmem_bytes_needed(nx: int, ny: int, itemsize: int = 4) -> int:
-    """Approximate VMEM footprint of the chunk kernel (10 canvas arrays)."""
-    return 10 * (nx + 2) * (ny + 2) * itemsize
+    """Calibrated VMEM footprint of the chunk kernel.
+
+    Mosaic's scoped-vmem accounting measured 16.54 MB at a 384² canvas for
+    this kernel (≈ 28 canvas-equivalents: 10 inputs + loop-carry double
+    buffers + hoisted invariants + in-body temporaries). Canvas dims are
+    padded to the (8, 128) f32 tile."""
+    a = -((nx + 2) // -8) * 8
+    b = -((ny + 2) // -128) * 128
+    return 28 * a * b * itemsize
 
 
 def _sm1(A, ax):
@@ -65,7 +75,6 @@ def _kernel(Vx_ref, Vy_ref, P_ref, txx_ref, tyy_ref, txy_ref,
             Vx_o, Vy_o, P_o, txx_o, tyy_o, txy_o,
             *, nx, ny, free_slip):
     shape = P_ref.shape
-    dtype = P_ref.dtype
     eta = eta_ref[:]
     etat = etat_ref[:]
     third = 1.0 / 3.0
@@ -79,52 +88,51 @@ def _kernel(Vx_ref, Vy_ref, P_ref, txx_ref, tyy_ref, txy_ref,
     nout = nit_ref[0]
 
     # -- static per-chunk quantities -------------------------------------
+    # VMEM budget note: every hoisted full-canvas value is live for the whole
+    # loop, and scoped VMEM is ~16 MB. Only genuinely expensive invariants
+    # are hoisted (5 canvases: η_v, the two damped-update reciprocals — the
+    # divide would otherwise run per iteration — and the face forces); the
+    # freeze masks are recomputed in-loop from iota+compare, which is ~free
+    # on the VPU and keeps them out of the persistent working set (measured:
+    # hoisted masks push 382² past the 16 MB scoped-vmem limit).
+    #
     # vertex viscosity: 4-cell average around vertex (i, j) = canvas (a, b):
     # cells at canvases (a, b), (a+1, b), (a, b+1), (a+1, b+1)
     eta_x = 0.5 * (eta + _sm1(eta, 0))
     eta_v = 0.5 * (eta_x + _sm1(eta_x, 1))
-    # face-averaged maxloc preconditioner
-    etax = 0.5 * (etat + _sm1(etat, 0))
-    etay = 0.5 * (etat + _sm1(etat, 1))
+    # face-averaged maxloc preconditioner, folded with ηdτ (divide hoisted)
+    inv_etax = etadtau / (0.5 * (etat + _sm1(etat, 0)))
+    inv_etay = etadtau / (0.5 * (etat + _sm1(etat, 1)))
     gxf = 0.5 * (gx_ref[:] + _sm1(gx_ref[:], 0))
     gyf = 0.5 * (gy_ref[:] + _sm1(gy_ref[:], 1))
-
-    # -- freeze masks -----------------------------------------------------
-    def m(cond):
-        return cond.astype(dtype)
-
-    Mc = m(_band(shape, 0, 1, nx) & _band(shape, 1, 1, ny))           # cells
-    Mv = m(_band(shape, 0, 1, nx - 1) & _band(shape, 1, 1, ny - 1))   # int. vertices
-    MVx = m(_band(shape, 0, 1, nx - 1) & _band(shape, 1, 1, ny))      # int. x-faces
-    MVy = m(_band(shape, 0, 1, nx) & _band(shape, 1, 1, ny - 1))      # int. y-faces
-    if free_slip:
-        gxl = _band(shape, 1, 0, 0) & _band(shape, 0, 0, nx)      # Vx ghost col b=0
-        gxr = _band(shape, 1, ny + 1, ny + 1) & _band(shape, 0, 0, nx)
-        gyl = _band(shape, 0, 0, 0) & _band(shape, 1, 0, ny)      # Vy ghost row a=0
-        gyr = _band(shape, 0, nx + 1, nx + 1) & _band(shape, 1, 0, ny)
 
     dtau_r = 1.0 / (theta_dtau + 1.0)
 
     def body(_, carry):
         Vx, Vy, P, txx, tyy, txy = carry
+        # freeze masks, recomputed per iteration (see budget note above)
+        Mc = _band(shape, 0, 1, nx) & _band(shape, 1, 1, ny)          # cells
+        Mv = _band(shape, 0, 1, nx - 1) & _band(shape, 1, 1, ny - 1)  # int. vertices
+        MVx = _band(shape, 0, 1, nx - 1) & _band(shape, 1, 1, ny)     # int. x-faces
+        MVy = _band(shape, 0, 1, nx) & _band(shape, 1, 1, ny - 1)     # int. y-faces
 
         # divergence + pressure (incompressible viscous limit: ψ = ητ·r/θ)
         dVxdx = (Vx - _sp1(Vx, 0)) * inv_dx
         dVydy = (Vy - _sp1(Vy, 1)) * inv_dy
         grad_V = dVxdx + dVydy
-        P = P - Mc * (grad_V * etat * r_theta)
+        P = jnp.where(Mc, P - grad_V * etat * r_theta, P)
 
         # deviatoric strain rates + PT stress update (cells)
         exx = dVxdx - grad_V * third
         eyy = dVydy - grad_V * third
-        txx = txx + Mc * (dtau_r * (2.0 * eta * exx - txx))
-        tyy = tyy + Mc * (dtau_r * (2.0 * eta * eyy - tyy))
+        txx = jnp.where(Mc, txx + dtau_r * (2.0 * eta * exx - txx), txx)
+        tyy = jnp.where(Mc, tyy + dtau_r * (2.0 * eta * eyy - tyy), tyy)
 
         # shear strain rate + stress at interior vertices
         exy = 0.5 * (
             (_sm1(Vx, 1) - Vx) * inv_dy + (_sm1(Vy, 0) - Vy) * inv_dx
         )
-        txy = txy + Mv * (dtau_r * (2.0 * eta_v * exy - txy))
+        txy = jnp.where(Mv, txy + dtau_r * (2.0 * eta_v * exy - txy), txy)
 
         # damped velocity update on interior faces
         rx = (
@@ -133,17 +141,21 @@ def _kernel(Vx_ref, Vy_ref, P_ref, txx_ref, tyy_ref, txy_ref,
             - (_sm1(P, 0) - P) * inv_dx
             - gxf
         )
-        Vx = Vx + MVx * (rx * (etadtau / etax))
+        Vx = jnp.where(MVx, Vx + rx * inv_etax, Vx)
         ry = (
             (_sm1(tyy, 1) - tyy) * inv_dy
             + (txy - _sp1(txy, 0)) * inv_dx
             - (_sm1(P, 1) - P) * inv_dy
             - gyf
         )
-        Vy = Vy + MVy * (ry * (etadtau / etay))
+        Vy = jnp.where(MVy, Vy + ry * inv_etay, Vy)
 
         if free_slip:
             # tangential ghost mirrors
+            gxl = _band(shape, 1, 0, 0) & _band(shape, 0, 0, nx)  # Vx ghost col
+            gxr = _band(shape, 1, ny + 1, ny + 1) & _band(shape, 0, 0, nx)
+            gyl = _band(shape, 0, 0, 0) & _band(shape, 1, 0, ny)  # Vy ghost row
+            gyr = _band(shape, 0, nx + 1, nx + 1) & _band(shape, 1, 0, ny)
             Vx = jnp.where(gxl, _sm1(Vx, 1), Vx)
             Vx = jnp.where(gxr, _sp1(Vx, 1), Vx)
             Vy = jnp.where(gyl, _sm1(Vy, 0), Vy)
@@ -194,12 +206,18 @@ def stokes_chunk_vmem(
     out_shape = tuple(jax.ShapeDtypeStruct(shape, a.dtype) for a in canv[:6])
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # raise the scoped-VMEM budget above the conservative 16 MB default:
+    # this kernel is a single unpipelined block (no grid double-buffering),
+    # so the whole physical VMEM is available to the working set + Mosaic's
+    # stack temporaries (measured: ~28 canvas-equivalents live).
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     o = pl.pallas_call(
         kern,
         out_shape=out_shape,
         in_specs=[vspec] * 10 + [sspec, sspec],
         out_specs=(vspec,) * 6,
         input_output_aliases={i: i for i in range(6)},
+        compiler_params=params,
         interpret=interpret,
     )(*canv, scal, nit)
     return (
