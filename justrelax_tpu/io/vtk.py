@@ -18,7 +18,13 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-__all__ = ["save_vti", "save_pvtk", "VTKSeries"]
+__all__ = [
+    "save_vti",
+    "save_pvtk",
+    "save_particles",
+    "save_marker_chain",
+    "VTKSeries",
+]
 
 
 def _vtk_order(A: np.ndarray) -> np.ndarray:
@@ -186,3 +192,97 @@ def save_pvtk(
     with open(path, "w") as f:
         f.write("\n".join(lines))
     return path
+
+
+# --- PolyData writers (particles, marker chain) ------------------------------
+def _poly_array(name: str, data: np.ndarray, dtype: str, ncomp: int = 1) -> str:
+    np_dt = {"Float32": np.float32, "Int64": np.int64}[dtype]
+    flat = np.ascontiguousarray(data, dtype=np_dt).tobytes()
+    payload = struct.pack("<Q", len(flat)) + flat
+    b64 = base64.b64encode(payload).decode()
+    return (
+        f'<DataArray type="{dtype}" Name="{name}" format="binary" '
+        f'NumberOfComponents="{ncomp}">\n{b64}\n</DataArray>'
+    )
+
+
+def _write_polydata(path, points, point_data, verts=False, lines=False):
+    """Minimal .vtp writer: ``points`` (n, 3) f32; ``verts`` emits one VERTEX
+    cell per point, ``lines`` one polyline through all points."""
+    n = points.shape[0]
+    parts = [
+        '<?xml version="1.0"?>',
+        '<VTKFile type="PolyData" version="1.0" byte_order="LittleEndian" header_type="UInt64">',
+        "<PolyData>",
+        f'<Piece NumberOfPoints="{n}" NumberOfVerts="{n if verts else 0}" '
+        f'NumberOfLines="{1 if lines else 0}" NumberOfStrips="0" NumberOfPolys="0">',
+        "<Points>",
+        _poly_array("Points", points, "Float32", ncomp=3),
+        "</Points>",
+    ]
+    if point_data:
+        parts.append("<PointData>")
+        for name, A in point_data.items():
+            parts.append(_poly_array(name, np.asarray(A).ravel(), "Float32"))
+        parts.append("</PointData>")
+    if verts:
+        conn = np.arange(n, dtype=np.int64)
+        offs = np.arange(1, n + 1, dtype=np.int64)
+        parts += [
+            "<Verts>",
+            _poly_array("connectivity", conn, "Int64"),
+            _poly_array("offsets", offs, "Int64"),
+            "</Verts>",
+        ]
+    if lines:
+        conn = np.arange(n, dtype=np.int64)
+        offs = np.asarray([n], dtype=np.int64)
+        parts += [
+            "<Lines>",
+            _poly_array("connectivity", conn, "Int64"),
+            _poly_array("offsets", offs, "Int64"),
+            "</Lines>",
+        ]
+    parts += ["</Piece>", "</PolyData>", "</VTKFile>"]
+    if not path.endswith(".vtp"):
+        path = path + ".vtp"
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def save_particles(path, particles, phases=None, fields=None, conversion=1.0,
+                   precision=np.float32):
+    """Active particles as VTK PolyData vertices
+    (reference ``save_particles``, src/IO/VTK.jl:344-435).
+
+    ``particles`` is a 2D :class:`~justrelax_tpu.particles.particles.Particles`
+    or 3D ``Particles3D`` container (slot layout; only ``active`` slots are
+    written). ``phases`` (slot-shaped) becomes the "phase" point array;
+    ``fields`` adds further slot-shaped point arrays. Coordinates are divided
+    by ``conversion`` (reference default km→m is the caller's choice)."""
+    act = np.asarray(particles.active).ravel()
+    px = np.asarray(particles.px).ravel()[act] / conversion
+    py = np.asarray(particles.py).ravel()[act] / conversion
+    if hasattr(particles, "pz"):
+        pz = np.asarray(particles.pz).ravel()[act] / conversion
+    else:
+        pz = np.zeros_like(px)
+    points = np.stack([px, py, pz], axis=-1).astype(precision)
+    data = {}
+    if phases is not None:
+        data["phase"] = np.asarray(phases).ravel()[act]
+    for name, A in (fields or {}).items():
+        data[name] = np.asarray(A).ravel()[act]
+    return _write_polydata(path, points, data, verts=True)
+
+
+def save_marker_chain(path, chain, precision=np.float32):
+    """Marker chain as a single VTK polyline
+    (reference ``save_marker_chain``, src/IO/VTK.jl:319-341)."""
+    x = np.asarray(chain.x, dtype=precision)
+    h = np.asarray(chain.y, dtype=precision)
+    points = np.stack([x, h, np.zeros_like(x)], axis=-1)
+    return _write_polydata(path, points, None, lines=True)

@@ -72,9 +72,16 @@ def _boundary_velocity(geometry, dtype):
     )
 
 
-def run(n=16, iter_max=100_000, nout=1_000, dtype=None):
-    ni = (n, n, n)
-    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+def run(n=16, iter_max=100_000, nout=1_000, dtype=None, geometry=None):
+    """``geometry`` overrides the uniform unit-cube grid — pass a
+    ``NonuniformGeometry`` to exercise the vector-spacing 3D kernels against
+    the same manufactured solution (the forcing/BCs are sampled on whatever
+    coordinates the geometry provides)."""
+    if geometry is None:
+        ni = (n, n, n)
+        geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    else:
+        ni = geometry.ni
     stokes = StokesState.make(ni, dtype=dtype)
     dt_f = stokes.P.dtype
 

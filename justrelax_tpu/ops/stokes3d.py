@@ -20,8 +20,35 @@ __all__ = [
     "compute_strain_rate_3d",
     "compute_tau_ve_3d",
     "compute_V_3d",
+    "spacing_families_3d",
     "tensor_invariant_staggered_3d",
 ]
+
+
+def spacing_families_3d(geometry):
+    """``(inv_di, inv_di_v, mom_spacings)`` for the 3D kernels.
+
+    Uniform grids: ``(scalar reciprocals, None, None)``. Nonuniform grids
+    (``NonuniformGeometry``, reference Grid.jl:262-316): per-axis
+    broadcastable reciprocal arrays of the center family (cell widths), the
+    vertex family (center-to-center distances, boundary-clamped), and the
+    momentum bundle ``(interior vertex family, center family)`` for
+    :func:`compute_V_3d`."""
+    if not hasattr(geometry, "di_center"):
+        return tuple(1.0 / d for d in geometry.di), None, None
+
+    def _b(vec, axis):
+        a = jnp.asarray(vec)
+        shape = [1, 1, 1]
+        shape[axis] = a.shape[0]
+        return a.reshape(shape)
+
+    inv_dc = tuple(1.0 / _b(geometry.di_center[d], d) for d in range(3))
+    inv_dv = tuple(1.0 / _b(geometry.di_vertex[d], d) for d in range(3))
+    inv_dv_in = tuple(
+        1.0 / _b(jnp.asarray(geometry.di_vertex[d])[1:-1], d) for d in range(3)
+    )
+    return inv_dc, inv_dv, (inv_dv_in, inv_dc)
 
 
 def compute_grad_V_3d(Vx, Vy, Vz, inv_di):
@@ -32,25 +59,32 @@ def compute_grad_V_3d(Vx, Vy, Vz, inv_di):
     )
 
 
-def compute_strain_rate_3d(grad_V, Vx, Vy, Vz, inv_di):
+def compute_strain_rate_3d(grad_V, Vx, Vy, Vz, inv_di, inv_di_v=None):
     """Deviatoric strain rate: normal at centers, shear on edges
-    (VelocityKernels.jl:59-104)."""
+    (VelocityKernels.jl:59-104).
+
+    ``inv_di`` is the center spacing family (cell widths — normal strains
+    land at centers); ``inv_di_v`` the vertex family (center-to-center
+    distances, clamped at boundary faces — the shear derivatives land on
+    edges and run BETWEEN cell positions). On a uniform grid they coincide
+    (the default). Reference nonuniform `_di` variants: Grid.jl:262-316."""
     _dx, _dy, _dz = inv_di
+    _dxv, _dyv, _dzv = inv_di if inv_di_v is None else inv_di_v
     third = 1.0 / 3.0
     exx = (Vx[1:, 1:-1, 1:-1] - Vx[:-1, 1:-1, 1:-1]) * _dx - grad_V * third
     eyy = (Vy[1:-1, 1:, 1:-1] - Vy[1:-1, :-1, 1:-1]) * _dy - grad_V * third
     ezz = (Vz[1:-1, 1:-1, 1:] - Vz[1:-1, 1:-1, :-1]) * _dz - grad_V * third
     eyz = 0.5 * (
-        (Vy[1:-1, :, 1:] - Vy[1:-1, :, :-1]) * _dz
-        + (Vz[1:-1, 1:, :] - Vz[1:-1, :-1, :]) * _dy
+        (Vy[1:-1, :, 1:] - Vy[1:-1, :, :-1]) * _dzv
+        + (Vz[1:-1, 1:, :] - Vz[1:-1, :-1, :]) * _dyv
     )
     exz = 0.5 * (
-        (Vx[:, 1:-1, 1:] - Vx[:, 1:-1, :-1]) * _dz
-        + (Vz[1:, 1:-1, :] - Vz[:-1, 1:-1, :]) * _dx
+        (Vx[:, 1:-1, 1:] - Vx[:, 1:-1, :-1]) * _dzv
+        + (Vz[1:, 1:-1, :] - Vz[:-1, 1:-1, :]) * _dxv
     )
     exy = 0.5 * (
-        (Vx[:, 1:, 1:-1] - Vx[:, :-1, 1:-1]) * _dy
-        + (Vy[1:, :, 1:-1] - Vy[:-1, :, 1:-1]) * _dx
+        (Vx[:, 1:, 1:-1] - Vx[:, :-1, 1:-1]) * _dyv
+        + (Vy[1:, :, 1:-1] - Vy[:-1, :, 1:-1]) * _dxv
     )
     return exx, eyy, ezz, eyz, exz, exy
 
@@ -153,32 +187,51 @@ def compute_tau_ve_3d(tau, tau_o, eps, eta, G, theta_dtau, dt, boundary_shear=Fa
     return txx, tyy, tzz, tyz, txz, txy
 
 
-def compute_V_3d(Vx, Vy, Vz, P, tau, fx, fy, fz, eta_tau, etadtau, inv_di):
+def compute_V_3d(Vx, Vy, Vz, P, tau, fx, fy, fz, eta_tau, etadtau, inv_di,
+                 spacings=None):
     """Fused residual + damped velocity update (VelocityKernels.jl:182-242).
 
+    ``spacings`` is the optional nonuniform bundle ``(inv_dv_in, inv_dc)``:
+    per-axis vertex-family reciprocals restricted to INTERIOR faces of the
+    momentum component's own axis (normal-stress/pressure gradients span
+    adjacent centers) and center-family reciprocals (shear-stress gradients
+    span adjacent edges, one cell width apart). Defaults to the uniform
+    ``inv_di`` for all.
+
     Returns (Vx, Vy, Vz, Rx, Ry, Rz)."""
-    _dx, _dy, _dz = inv_di
+    if spacings is None:
+        _dx = _dy = _dz = None
+        _dxv = _dyv = _dzv = None
+    else:
+        (_dxv, _dyv, _dzv), (_dx, _dy, _dz) = spacings
+    u = inv_di
+    _dx = u[0] if _dx is None else _dx
+    _dy = u[1] if _dy is None else _dy
+    _dz = u[2] if _dz is None else _dz
+    _dxv = u[0] if _dxv is None else _dxv
+    _dyv = u[1] if _dyv is None else _dyv
+    _dzv = u[2] if _dzv is None else _dzv
     txx, tyy, tzz, tyz, txz, txy = tau
 
     Rx = (
-        (txx[1:, :, :] - txx[:-1, :, :]) * _dx
+        (txx[1:, :, :] - txx[:-1, :, :]) * _dxv
         + (txy[1:-1, 1:, :] - txy[1:-1, :-1, :]) * _dy
         + (txz[1:-1, :, 1:] - txz[1:-1, :, :-1]) * _dz
-        - (P[1:, :, :] - P[:-1, :, :]) * _dx
+        - (P[1:, :, :] - P[:-1, :, :]) * _dxv
         - 0.5 * (fx[1:, :, :] + fx[:-1, :, :])
     )
     Ry = (
         (txy[1:, 1:-1, :] - txy[:-1, 1:-1, :]) * _dx
-        + (tyy[:, 1:, :] - tyy[:, :-1, :]) * _dy
+        + (tyy[:, 1:, :] - tyy[:, :-1, :]) * _dyv
         + (tyz[:, 1:-1, 1:] - tyz[:, 1:-1, :-1]) * _dz
-        - (P[:, 1:, :] - P[:, :-1, :]) * _dy
+        - (P[:, 1:, :] - P[:, :-1, :]) * _dyv
         - 0.5 * (fy[:, 1:, :] + fy[:, :-1, :])
     )
     Rz = (
         (txz[1:, :, 1:-1] - txz[:-1, :, 1:-1]) * _dx
         + (tyz[:, 1:, 1:-1] - tyz[:, :-1, 1:-1]) * _dy
-        + (tzz[:, :, 1:] - tzz[:, :, :-1]) * _dz
-        - (P[:, :, 1:] - P[:, :, :-1]) * _dz
+        + (tzz[:, :, 1:] - tzz[:, :, :-1]) * _dzv
+        - (P[:, :, 1:] - P[:, :, :-1]) * _dzv
         - 0.5 * (fz[:, :, 1:] + fz[:, :, :-1])
     )
     etax = 0.5 * (eta_tau[1:, :, :] + eta_tau[:-1, :, :])

@@ -54,7 +54,10 @@ def solve_ve_3d(
     cell midpoints) otherwise makes P drift indefinitely and the continuity
     residual stall."""
     nx, ny, nz = stokes.P.shape
-    inv_di = tuple(1.0 / d for d in geometry.di)
+    # nonuniform vector-spacing support (reference Grid.jl:262-316 _di
+    # variants): center family for divergence/normal strains, vertex family
+    # for edge shear strains, mixed bundle for the momentum update
+    inv_di, inv_di_v, mom_spacings = k3.spacing_families_3d(geometry)
     r, theta_dtau, etadtau = pt_stokes.r, pt_stokes.theta_dtau, pt_stokes.etadtau
     eps_rel, eps_abs = pt_stokes.eps_rel, pt_stokes.eps_abs
     nout_i = int(nout)
@@ -87,10 +90,11 @@ def solve_ve_3d(
         if mean_free_RP:
             grad_V = grad_V - jnp.mean(grad_V)
         RP, P = compute_P(c.P, P0, grad_V, Q, eta, K, G, dt, r, theta_dtau)
-        eps = k3.compute_strain_rate_3d(grad_V, Vx, Vy, Vz, inv_di)
+        eps = k3.compute_strain_rate_3d(grad_V, Vx, Vy, Vz, inv_di, inv_di_v)
         tau = k3.compute_tau_ve_3d(c.tau, tau_o, eps, eta, G, theta_dtau, dt, boundary_shear=boundary_shear)
         Vx, Vy, Vz, Rx, Ry, Rz = k3.compute_V_3d(
-            Vx, Vy, Vz, P, tau, fx, fy, fz, eta_tau, etadtau, inv_di
+            Vx, Vy, Vz, P, tau, fx, fy, fz, eta_tau, etadtau, inv_di,
+            spacings=mom_spacings,
         )
         Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), flow_bc)
         return C(

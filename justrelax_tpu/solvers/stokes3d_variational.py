@@ -53,7 +53,8 @@ def solve_variational_3d(
     nout: int = 500,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     nx, ny, nz = stokes.P.shape
-    inv_di = tuple(1.0 / d for d in geometry.di)
+    # nonuniform vector-spacing families (reference Grid.jl:262-316)
+    inv_di, inv_di_v, mom_spacings = k3.spacing_families_3d(geometry)
     r, theta_dtau, etadtau = pt_stokes.r, pt_stokes.theta_dtau, pt_stokes.etadtau
     eps_rel, eps_abs = pt_stokes.eps_rel, pt_stokes.eps_abs
     nout_i = int(nout)
@@ -69,12 +70,16 @@ def solve_variational_3d(
         stokes.tau_o.yz, stokes.tau_o.xz, stokes.tau_o.xy,
     )
     fx, fy, fz = rho_g
-    _dx, _dy, _dz = inv_di
+    if mom_spacings is None:
+        _dx, _dy, _dz = inv_di
+        _dxv, _dyv, _dzv = inv_di
+    else:
+        (_dxv, _dyv, _dzv), (_dx, _dy, _dz) = mom_spacings
 
     def masked_strain(Vx, Vy, Vz):
         grad_V = jnp.where(vm.c, k3.compute_grad_V_3d(Vx, Vy, Vz, inv_di), 0.0)
         exx, eyy, ezz, eyz, exz, exy = k3.compute_strain_rate_3d(
-            grad_V, Vx, Vy, Vz, inv_di
+            grad_V, Vx, Vy, Vz, inv_di, inv_di_v
         )
         return (
             grad_V,
@@ -94,24 +99,24 @@ def solve_variational_3d(
         tyzw, txzw, txyw = tyz * phi.yz, txz * phi.xz, txy * phi.xy
         fxw, fyw, fzw = fx * phi.center, fy * phi.center, fz * phi.center
         Rx = (
-            (txxw[1:, :, :] - txxw[:-1, :, :]) * _dx
+            (txxw[1:, :, :] - txxw[:-1, :, :]) * _dxv
             + (txyw[1:-1, 1:, :] - txyw[1:-1, :-1, :]) * _dy
             + (txzw[1:-1, :, 1:] - txzw[1:-1, :, :-1]) * _dz
-            - (Pw[1:, :, :] - Pw[:-1, :, :]) * _dx
+            - (Pw[1:, :, :] - Pw[:-1, :, :]) * _dxv
             - 0.5 * (fxw[1:, :, :] + fxw[:-1, :, :])
         )
         Ry = (
             (txyw[1:, 1:-1, :] - txyw[:-1, 1:-1, :]) * _dx
-            + (tyyw[:, 1:, :] - tyyw[:, :-1, :]) * _dy
+            + (tyyw[:, 1:, :] - tyyw[:, :-1, :]) * _dyv
             + (tyzw[:, 1:-1, 1:] - tyzw[:, 1:-1, :-1]) * _dz
-            - (Pw[:, 1:, :] - Pw[:, :-1, :]) * _dy
+            - (Pw[:, 1:, :] - Pw[:, :-1, :]) * _dyv
             - 0.5 * (fyw[:, 1:, :] + fyw[:, :-1, :])
         )
         Rz = (
             (txzw[1:, :, 1:-1] - txzw[:-1, :, 1:-1]) * _dx
             + (tyzw[:, 1:, 1:-1] - tyzw[:, :-1, 1:-1]) * _dy
-            + (tzzw[:, :, 1:] - tzzw[:, :, :-1]) * _dz
-            - (Pw[:, :, 1:] - Pw[:, :, :-1]) * _dz
+            + (tzzw[:, :, 1:] - tzzw[:, :, :-1]) * _dzv
+            - (Pw[:, :, 1:] - Pw[:, :, :-1]) * _dzv
             - 0.5 * (fzw[:, :, 1:] + fzw[:, :, :-1])
         )
         Rx = jnp.where(vm.vx[1:-1, :, :], Rx, 0.0)

@@ -47,34 +47,41 @@ Array = Any
 __all__ = ["solve_vep_3d"]
 
 
-def _masked_momentum_3d(P, tau6, fx, fy, fz, inv_di, phi, vm):
+def _masked_momentum_3d(P, tau6, fx, fy, fz, inv_di, phi, vm,
+                        spacings=None):
     """ϕ-weighted interior-face momentum residuals (masked MiniKernels),
-    matching solvers/stokes3d_variational.py."""
-    _dx, _dy, _dz = inv_di
+    matching solvers/stokes3d_variational.py. ``spacings`` is the nonuniform
+    bundle of :func:`k3.compute_V_3d` (interior vertex family for the
+    normal-stress/pressure gradients, center family for the shear ones)."""
+    if spacings is None:
+        _dx, _dy, _dz = inv_di
+        _dxv, _dyv, _dzv = inv_di
+    else:
+        (_dxv, _dyv, _dzv), (_dx, _dy, _dz) = spacings
     txx, tyy, tzz, tyz, txz, txy = tau6
     Pw = P * phi.center
     txxw, tyyw, tzzw = txx * phi.center, tyy * phi.center, tzz * phi.center
     tyzw, txzw, txyw = tyz * phi.yz, txz * phi.xz, txy * phi.xy
     fxw, fyw, fzw = fx * phi.center, fy * phi.center, fz * phi.center
     Rx = (
-        (txxw[1:, :, :] - txxw[:-1, :, :]) * _dx
+        (txxw[1:, :, :] - txxw[:-1, :, :]) * _dxv
         + (txyw[1:-1, 1:, :] - txyw[1:-1, :-1, :]) * _dy
         + (txzw[1:-1, :, 1:] - txzw[1:-1, :, :-1]) * _dz
-        - (Pw[1:, :, :] - Pw[:-1, :, :]) * _dx
+        - (Pw[1:, :, :] - Pw[:-1, :, :]) * _dxv
         - 0.5 * (fxw[1:, :, :] + fxw[:-1, :, :])
     )
     Ry = (
         (txyw[1:, 1:-1, :] - txyw[:-1, 1:-1, :]) * _dx
-        + (tyyw[:, 1:, :] - tyyw[:, :-1, :]) * _dy
+        + (tyyw[:, 1:, :] - tyyw[:, :-1, :]) * _dyv
         + (tyzw[:, 1:-1, 1:] - tyzw[:, 1:-1, :-1]) * _dz
-        - (Pw[:, 1:, :] - Pw[:, :-1, :]) * _dy
+        - (Pw[:, 1:, :] - Pw[:, :-1, :]) * _dyv
         - 0.5 * (fyw[:, 1:, :] + fyw[:, :-1, :])
     )
     Rz = (
         (txzw[1:, :, 1:-1] - txzw[:-1, :, 1:-1]) * _dx
         + (tyzw[:, 1:, 1:-1] - tyzw[:, :-1, 1:-1]) * _dy
-        + (tzzw[:, :, 1:] - tzzw[:, :, :-1]) * _dz
-        - (Pw[:, :, 1:] - Pw[:, :, :-1]) * _dz
+        + (tzzw[:, :, 1:] - tzzw[:, :, :-1]) * _dzv
+        - (Pw[:, :, 1:] - Pw[:, :, :-1]) * _dzv
         - 0.5 * (fzw[:, :, 1:] + fzw[:, :, :-1])
     )
     Rx = jnp.where(vm.vx[1:-1, :, :], Rx, 0.0)
@@ -115,7 +122,8 @@ def solve_vep_3d(
     combination of solve_variational_3d's masking with the fused plastic
     return mapping."""
     nx, ny, nz = stokes.P.shape
-    inv_di = tuple(1.0 / d for d in geometry.di)
+    # nonuniform vector-spacing families (reference Grid.jl:262-316)
+    inv_di, inv_di_v, mom_spacings = k3.spacing_families_3d(geometry)
     r, theta_dtau, etadtau = pt_stokes.r, pt_stokes.theta_dtau, pt_stokes.etadtau
     eps_rel, eps_abs = pt_stokes.eps_rel, pt_stokes.eps_abs
     nout_i = int(nout)
@@ -203,7 +211,7 @@ def solve_vep_3d(
         )
         fx, fy, fz = rho_g_fields(c.P)
         exx, eyy, ezz, eyz, exz, exy = k3.compute_strain_rate_3d(
-            grad_V, Vx, Vy, Vz, inv_di
+            grad_V, Vx, Vy, Vz, inv_di, inv_di_v
         )
         if vm is not None:
             exx, eyy, ezz = mask_c(exx), mask_c(eyy), mask_c(ezz)
@@ -226,11 +234,12 @@ def solve_vep_3d(
         if vm is None:
             Vx, Vy, Vz, _, _, _ = k3.compute_V_3d(
                 Vx, Vy, Vz, P_corr, tau6, fx, fy, fz, eta_tau, etadtau,
-                inv_di,
+                inv_di, spacings=mom_spacings,
             )
         else:
             Rx, Ry, Rz = _masked_momentum_3d(
-                P_corr, tau6, fx, fy, fz, inv_di, phi, vm
+                P_corr, tau6, fx, fy, fz, inv_di, phi, vm,
+                spacings=mom_spacings,
             )
             etax = 0.5 * (eta_tau[1:, :, :] + eta_tau[:-1, :, :])
             etay = 0.5 * (eta_tau[:, 1:, :] + eta_tau[:, :-1, :])
@@ -279,10 +288,12 @@ def solve_vep_3d(
             _, _, _, Rx, Ry, Rz = k3.compute_V_3d(
                 c.V[0] * 0.0, c.V[1] * 0.0, c.V[2] * 0.0, c.P, tau6,
                 fx, fy, fz, jnp.ones_like(c.P), 0.0, inv_di,
+                spacings=mom_spacings,
             )
         else:
             Rx, Ry, Rz = _masked_momentum_3d(
-                c.P, tau6, fx, fy, fz, inv_di, phi, vm
+                c.P, tau6, fx, fy, fz, inv_di, phi, vm,
+                spacings=mom_spacings,
             )
         nRx = _norm(Rx[1:-1, 1:-1, 1:-1]) / ((nx - 2) * (ny - 1) * (nz - 1))
         nRy = _norm(Ry[1:-1, 1:-1, 1:-1]) / ((nx - 1) * (ny - 2) * (nz - 1))
@@ -330,7 +341,7 @@ def solve_vep_3d(
     Vx, Vy, Vz = c.V
     grad_V = k3.compute_grad_V_3d(Vx, Vy, Vz, inv_di)
     exx, eyy, ezz, eyz, exz, exy = k3.compute_strain_rate_3d(
-        grad_V, Vx, Vy, Vz, inv_di
+        grad_V, Vx, Vy, Vz, inv_di, inv_di_v
     )
     nRx, nRy, nRz, nRP, Rx, Ry, Rz = residual_norms(c)
 
