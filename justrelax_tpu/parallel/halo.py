@@ -115,12 +115,12 @@ def exchange_ghosts(A: Array, axis: int, n_owned: int, mesh_axis: Optional[str] 
     extra = s - n_owned
     if extra < 1:
         raise ValueError(f"array has no ghost layers along axis {axis}")
-    # neighbor source layers: my low ghost (global index g0-1) equals left
-    # neighbor's layer at local index s-extra-1+... derived: local j ↔ global
-    # r*n_owned + j - offset with offset = extra//2 for symmetric ghosts.
-    # For symmetric layouts (extra even) and face layouts (extra odd) the
-    # matching source is: low ghost ← left's layer s-1-extra ... simplified to
-    # index arithmetic: left's local index of my j=0 is n_owned + 0.
+    # Blocked-local layout (decomp.block_staggered): tile r holds global
+    # layers [r·n_owned, r·n_owned + n_owned + extra). Local j on tile r is
+    # global r·n_owned + j, so my j=0 is the LEFT tile's local n_owned, and
+    # my j=s−1 is the RIGHT tile's local extra−1. For extra ≥ 2 both source
+    # layers are interior to their owner; layouts are unit-tested over
+    # odd/even extra in tests/test_halo_unit.py.
     src_for_low = lax.slice_in_dim(A, n_owned, n_owned + 1, axis=axis)
     src_for_high = lax.slice_in_dim(A, extra - 1, extra, axis=axis)
 

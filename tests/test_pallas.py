@@ -84,12 +84,12 @@ def test_solve_ve_use_pallas_validation():
     )
     with pytest.raises(ValueError, match="free-slip"):
         solve_ve(stokes, pt, geom, bc_ns, (z, z), G, G, 0.1, use_pallas=True)
-    big = StokesState.make((512, 512))
-    geom_big = Geometry((512, 512), (1.0, 1.0))
+    big = StokesState.make((1024, 1024))
+    geom_big = Geometry((1024, 1024), (1.0, 1.0))
     bc = VelocityBoundaryConditions(
         free_slip=Faces(left=True, right=True, top=True, bot=True)
     )
-    zb = jnp.zeros((512, 512))
+    zb = jnp.zeros((1024, 1024))
     with pytest.raises(ValueError, match="VMEM"):
-        solve_ve(big, pt, geom_big, bc, (zb, zb), jnp.full((512, 512), jnp.inf),
-                 jnp.full((512, 512), jnp.inf), 0.1, use_pallas=True)
+        solve_ve(big, pt, geom_big, bc, (zb, zb), jnp.full((1024, 1024), jnp.inf),
+                 jnp.full((1024, 1024), jnp.inf), 0.1, use_pallas=True)
