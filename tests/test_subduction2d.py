@@ -24,3 +24,8 @@ def test_subduction2d_physics():
     # the slab
     air = phases == subduction2d.AIR
     assert np.abs(Vy_c[air]).max() < 50 * np.abs(Vy_c[slab]).mean()
+
+    # frozen golden values (round 2, CPU/x64)
+    np.testing.assert_allclose(v_cm_yr, -8.12271522695263, rtol=1e-5)
+    np.testing.assert_allclose(np.abs(Vy).max(), 2.776206296426089e-08, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(thermal.T).mean(), 1561.9627799560321, rtol=1e-6)

@@ -24,3 +24,8 @@ def test_subduction3d():
     # y-invariance: the extruded setup stays ~2D (free-slip front/back)
     Vy = np.asarray(stokes.V.Vy)
     assert np.abs(Vy).max() < 0.05 * np.abs(Vz).max()
+
+    # frozen golden values (round 2, CPU/x64)
+    np.testing.assert_allclose(Vz.min(), -1.0311600516051363e-09, rtol=1e-5)
+    np.testing.assert_allclose(Vz.max(), 4.863380641192766e-10, rtol=1e-5)
+    np.testing.assert_allclose(T.min(), 429.1688847185895, rtol=1e-6)

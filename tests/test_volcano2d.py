@@ -29,3 +29,12 @@ def test_volcano2d_coupled():
     assert int(np.asarray(particles.active).sum()) > 0
     px = np.asarray(particles.px)[np.asarray(particles.active)]
     assert px.min() >= -1.0 and px.max() <= 30.0e3 + 1.0
+
+    # frozen golden values (round 2, CPU/x64): regressions in the coupled
+    # variational solve / marker chain / melt path move these immediately
+    np.testing.assert_allclose(np.abs(Vy).max(), 1.123785071220893e-05, rtol=1e-5)
+    np.testing.assert_allclose(y.min(), -248.63913063456263, rtol=1e-5)
+    np.testing.assert_allclose(y.max(), 396.1710636599242, rtol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(phi_m).max()), 0.015204280455344884, rtol=1e-5)
+    np.testing.assert_allclose(T.min(), 272.7737274275928, rtol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(stokes.tau.II).max()), 16322733.20979906, rtol=1e-5)
