@@ -80,6 +80,24 @@ class Material:
     diff_V: Array = 0.0
     diff_m: Array = 0.0  # grain-size exponent
     grain_size: Array = 1.0e-3  # d [m]
+    # Peierls (low-temperature plasticity) creep (GeoParams PeierlsCreep):
+    #   ε̇ = A τⁿ exp(−E/(RT)·(1 − (τ/τP)^o)^q)
+    # τ(ε̇) has no closed form — inverted with a fixed Newton loop in
+    # rheology/viscosity.py (mode "eps"); mode "tau" is direct.
+    peierls_A: Array = 0.0  # 0 disables [Pa^-n / s]
+    peierls_n: Array = 2.0
+    peierls_E: Array = 0.0  # [J/mol]
+    peierls_q: Array = 1.0
+    peierls_o: Array = 0.5
+    peierls_tauP: Array = _INF  # Peierls stress τP [Pa]
+    # dislocation-accommodated grain-boundary sliding (GeoParams
+    # GrainBoundarySliding): ε̇ = A τⁿ d^−m exp(−(E + P·V)/(RT)) —
+    # power-law with a grain-size factor, analytically invertible.
+    gbs_A: Array = 0.0  # 0 disables [Pa^-n m^m / s]
+    gbs_n: Array = 1.0
+    gbs_m: Array = 0.0
+    gbs_E: Array = 0.0
+    gbs_V: Array = 0.0
     # Drucker-Prager plasticity (is_plastic=1 enables yielding for the phase)
     is_plastic: Array = 0.0
     C: Array = 0.0  # cohesion
@@ -262,6 +280,28 @@ CREEP_PRESETS = {
         # A = 2.5e7 MPa^-1 um^3 s^-1 · C_OH^1.0 with C_OH = 1000
         diff_A=2.5e7 * 1000.0 * 1.0e-6 * (1.0e-6) ** 3, diff_m=3.0,
         diff_E=375.0e3, diff_V=10.0e-6,
+    ),
+    # Peierls low-temperature plasticity, dry olivine, Mei et al. (2010)
+    # (GeoParams PeierlsCreep "Dry Olivine | Mei et al. (2010)"):
+    # A = 1.4e-7 MPa^-2 s^-1, n = 2, E = 320 kJ/mol, τP = 5.9 GPa,
+    # o = 1/2, q = 1.
+    "dry_olivine_peierls_Mei_2010": dict(
+        peierls_A=1.4e-7 * 1.0e-6**2, peierls_n=2.0, peierls_E=320.0e3,
+        peierls_q=1.0, peierls_o=0.5, peierls_tauP=5.9e9,
+    ),
+    # Peierls, Goetze & Evans (1979) flow-law shape (q = 2, o = 1, n = 0 →
+    # stress enters only through the exponential; implemented with n = 2 and
+    # rescaled A as the common regularized form, cf. Kameyama et al. 1999):
+    "dry_olivine_peierls_Goetze_1979": dict(
+        peierls_A=5.7e11 / (8.5e9) ** 2, peierls_n=2.0, peierls_E=536.0e3,
+        peierls_q=2.0, peierls_o=1.0, peierls_tauP=8.5e9,
+    ),
+    # Dislocation-accommodated grain-boundary sliding, dry olivine < 1523 K,
+    # Hansen et al. (2011) (GeoParams GrainBoundarySliding):
+    # A = 10^4.8 MPa^-2.9 μm^0.7 s^-1, n = 2.9, m = 0.7, E = 445 kJ/mol.
+    "dry_olivine_gbs_Hansen_2011": dict(
+        gbs_A=10.0**4.8 * 1.0e-6**2.9 * (1.0e-6) ** 0.7,
+        gbs_n=2.9, gbs_m=0.7, gbs_E=445.0e3, gbs_V=18.0e-6,
     ),
 }
 

@@ -7,11 +7,19 @@ over phases, relaxed with linear continuation
 ``η ← ν·η_new + (1−ν)·η_old`` (reference ``continuation_linear``), and
 clamped to a cutoff window. Both cell-center and vertex fields are updated.
 
-Creep laws supported per phase (Material fields):
+Creep laws supported per phase (Material fields), composed harmonically as
+serial CompositeRheology elements:
 - linear viscous: η = η0
 - dislocation (power-law) creep: η = A^(−1/n) · invII^(1/n − 1) · exp(E/(n R T))
   from εII, or η = A^(−1) τII^(1−n) exp(E/(R T)) ... evaluated consistently
-  from the invariant handed in (`mode`).
+  from the invariant handed in (`mode`);
+- diffusion creep (linear, grain-size sensitive d^m);
+- grain-boundary sliding (power law with d^−m, GeoParams
+  GrainBoundarySliding), analytically invertible;
+- Peierls low-temperature plasticity
+  ε̇ = A τⁿ exp(−E/(RT)·(1−(τ/τP)^o)^q) (GeoParams PeierlsCreep): direct in
+  "tau" mode, fixed-30-step Newton inversion on ln τ in "eps" mode
+  (compiler-friendly: no data-dependent iteration count).
 """
 
 from __future__ import annotations
@@ -88,11 +96,66 @@ def phase_viscosity(
     expo_d = 1.0 if iRT is None else jnp.exp((Ed + PVd) * iRT)
     eta_diff = 0.5 / Ad_safe * d**md * expo_d
 
+    # grain-boundary sliding: power law with a grain-size factor, invertible
+    # exactly like dislocation creep (GeoParams GrainBoundarySliding)
+    Ag = _bcast(m.gbs_A, invII)
+    ng = _bcast(m.gbs_n, invII)
+    mg = _bcast(m.gbs_m, invII)
+    Eg = _bcast(m.gbs_E, invII)
+    Vg = _bcast(m.gbs_V, invII)
+    has_gbs = Ag > 0
+    Ag_safe = jnp.where(has_gbs, Ag, 1.0)
+    PVg = 0.0 if P is None else P[..., None] * Vg
+    if mode == "eps":
+        expo_g = 1.0 if iRT is None else jnp.exp((Eg + PVg) * iRT / ng)
+        eta_gbs = (
+            0.5 * Ag_safe ** (-1.0 / ng) * d ** (mg / ng)
+            * inv_safe ** (1.0 / ng - 1.0) * expo_g
+        )
+    else:
+        expo_g = 1.0 if iRT is None else jnp.exp((Eg + PVg) * iRT)
+        eta_gbs = 0.5 / Ag_safe * d**mg * inv_safe ** (1.0 - ng) * expo_g
+
+    # Peierls creep: ε̇ = A τⁿ exp(−S·(1−(τ/τP)^o)^q), S = E/(RT)
+    Ap = _bcast(m.peierls_A, invII)
+    np_ = _bcast(m.peierls_n, invII)
+    Ep = _bcast(m.peierls_E, invII)
+    qp = _bcast(m.peierls_q, invII)
+    op = _bcast(m.peierls_o, invII)
+    tauP = _bcast(m.peierls_tauP, invII)
+    has_pei = Ap > 0
+    Ap_safe = jnp.where(has_pei, Ap, 1.0)
+    S = 0.0 if iRT is None else Ep * iRT
+    if mode == "tau":
+        # direct: η = τ / (2 ε̇(τ))
+        x = jnp.clip(inv_safe / tauP, 0.0, 1.0 - 1e-12)
+        rate = Ap_safe * inv_safe**np_ * jnp.exp(-S * (1.0 - x**op) ** qp)
+        eta_pei = inv_safe / (2.0 * jnp.maximum(rate, 1e-300))
+    else:
+        # invert τ(ε̇) with a fixed Newton loop on ln τ:
+        #   f(lnτ) = ln A + n·lnτ − S(1−(τ/τP)^o)^q − ln ε̇
+        #   f'     = n + S·q·o·(1−x^o)^(q−1)·x^o,  x = τ/τP  (monotone ↑)
+        ln_eps = jnp.log(inv_safe)
+        ln_tauP = jnp.log(jnp.where(jnp.isinf(tauP), 1e30, tauP))
+        lt = ln_tauP + jnp.log(0.5)  # start mid-barrier
+        ln_A = jnp.log(Ap_safe)
+        for _ in range(30):
+            x = jnp.clip(jnp.exp(lt - ln_tauP), 1e-12, 1.0 - 1e-9)
+            base = 1.0 - x**op
+            f = ln_A + np_ * lt - S * base**qp - ln_eps
+            fp = np_ + S * qp * op * base ** (qp - 1.0) * x**op
+            lt = lt - f / fp
+            lt = jnp.minimum(lt, ln_tauP - 1e-9)  # stay below the barrier
+        tau_pei = jnp.exp(lt)
+        eta_pei = tau_pei / (2.0 * inv_safe)
+
     inv_eta = (
         jnp.where(has_disl, 1.0 / eta_disl, 0.0)
         + jnp.where(has_diff, 1.0 / eta_diff, 0.0)
+        + jnp.where(has_gbs, 1.0 / eta_gbs, 0.0)
+        + jnp.where(has_pei, 1.0 / eta_pei, 0.0)
     )
-    any_creep = has_disl | has_diff
+    any_creep = has_disl | has_diff | has_gbs | has_pei
     eta_p = jnp.where(any_creep, 1.0 / jnp.maximum(inv_eta, 1e-300), eta0)
 
     # harmonic phase blend with the reference's dominant-phase early exit
