@@ -34,6 +34,28 @@ Canvas collocation ((a,b,c) canvas indices; nx×ny×nz cells):
 Serial equivalence: one call == compute_grad_V_3d → compute_P →
 compute_strain_rate_3d → compute_tau_ve_3d → compute_V_3d → flow_bcs
 (free-slip) to roundoff; tests/test_pallas3d.py.
+
+MEASURED OUTCOME (v5e, 126³ f32) — both formulations compile and run on
+hardware but LOSE to the XLA twin, which this module therefore does not
+replace:
+
+  XLA fused while-body (production path)   619 µs/iter  (wire-speed on its
+                                            actual ~450 MB/iter traffic)
+  v1 window-value form (this kernel)      1262 µs/iter  (B=8; B=16 slower:
+                                            VMEM-pressure/VPU-bound — full
+                                            (B+4,Y,Z) values, x-rolls,
+                                            full-window masks)
+  v2 plane-revolving form                 4110 µs/iter  (B=8; 2609 at B=16:
+                                            128×128 plane ops are too small
+                                            to feed the VPU, and per-plane
+                                            scr_new round-trips defeat
+                                            register caching)
+
+The HBM-traffic saving (~2×) is real but the VPU cost of the mask/roll
+canvas (v1) or the short-op pipeline (v2) exceeds it — the 3D iteration at
+this size is not memory-bound enough to profit, unlike the 2D VMEM-chunk
+kernel (ops/pallas_stokes.py, 2.9× HBM peak) where a whole nout-chunk stays
+resident. Kept as tested experimental paths and as the measurement record.
 """
 
 from __future__ import annotations
@@ -303,6 +325,295 @@ def stokes3d_iteration_strips(
             scratch_shapes=[
                 pltpu.VMEM((10, B + 2 * HALO, Y, Z), dtype),
                 pltpu.VMEM((5, B + 2 * HALO, Y, Z), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((10, X, Y, Z), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scal, carry, const)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# v2: plane-revolving formulation
+# ---------------------------------------------------------------------------
+def _kernel_planes(scal_ref, carry_hbm, const_hbm, out_ref,
+                   scr_in, scr_k, scr_new, sem_c, sem_k,
+                   *, nx, ny, nz, B, X):
+    """Plane-revolving variant of :func:`_kernel`.
+
+    The window-value form (v1) loads whole (B+4, Y, Z) values and shifts
+    them with axis-0 rolls — measured VPU/VMEM-pressure-bound on v5e
+    (1.26 ms/iter at 126³, and B=16 SLOWER than B=8). Here every op is a 2D
+    (Y, Z) plane op: x-neighbors are *plane indices* (free), only y/z rolls
+    remain, and the per-plane working set is a few vreg tiles. The plane
+    loops are statically unrolled (B+2 iterations) — all ref indices static;
+    the only dynamic indexing is the final windowed load, which refs
+    support.
+    """
+    i = pl.program_id(0)
+    start = jnp.clip(B * i - HALO, 0, X - (B + 2 * HALO))
+    off = B * i - start
+
+    cp = pltpu.make_async_copy(
+        carry_hbm.at[:, pl.ds(start, B + 2 * HALO)], scr_in, sem_c
+    )
+    kp = pltpu.make_async_copy(
+        const_hbm.at[:, pl.ds(start, B + 2 * HALO)], scr_k, sem_k
+    )
+    cp.start()
+    kp.start()
+    cp.wait()
+    kp.wait()
+
+    inv_dx = scal_ref[0]
+    inv_dy = scal_ref[1]
+    inv_dz = scal_ref[2]
+    r_theta = scal_ref[3]
+    theta_dtau = scal_ref[4]
+    etadtau = scal_ref[5]
+    third = 1.0 / 3.0
+    dtau_r = 1.0 / (theta_dtau + 1.0)
+
+    pshape = (scr_in.shape[2], scr_in.shape[3])  # (Y, Z) plane
+
+    def yb(lo, hi):
+        return _band(pshape, 0, lo, hi)
+
+    def zb(lo, hi):
+        return _band(pshape, 1, lo, hi)
+
+    # plane-invariant 2D masks (y/z parts); x parts are scalar predicates
+    yz_cell = yb(1, ny) & zb(1, nz)
+    m_yz_e = yb(1, ny - 1) & zb(1, nz - 1)
+    m_xz_e = yb(1, ny) & zb(1, nz - 1)
+    m_xy_e = yb(1, ny - 1) & zb(1, nz)
+    m_vy = yb(1, ny - 1) & zb(1, nz)
+    m_vz = yb(1, ny) & zb(1, nz - 1)
+
+    IVX, IVY, IVZ, IP, IXX, IYY, IZZ, IYZ, IXZ, IXY = range(10)
+
+    # copy the frozen window-edge planes (never recomputed, may be selected
+    # into the output by the clamped window of the first/last slab); velocity
+    # planes still receive their in-plane free-slip mirrors (the serial BC
+    # pass mirrors tangential ghosts on EVERY x-plane, ops/bc.py:209-230)
+    def _vx_mirrors(v):
+        v = jnp.where(yb(0, 0), _sm1(v, 0), v)
+        v = jnp.where(yb(ny + 1, ny + 1), _sp1(v, 0), v)
+        v = jnp.where(zb(0, 0), _sm1(v, 1), v)
+        v = jnp.where(zb(nz + 1, nz + 1), _sp1(v, 1), v)
+        return v
+
+    def _vy_mirrors(v):
+        v = jnp.where(zb(0, 0), _sm1(v, 1), v)
+        v = jnp.where(zb(nz + 1, nz + 1), _sp1(v, 1), v)
+        return v
+
+    def _vz_mirrors(v):
+        v = jnp.where(yb(0, 0), _sm1(v, 0), v)
+        v = jnp.where(yb(ny + 1, ny + 1), _sp1(v, 0), v)
+        return v
+
+    for f in range(10):
+        for q_edge in (0, B + 2 * HALO - 1):
+            v = scr_in[f, q_edge]
+            if f == 0:
+                v = _vx_mirrors(v)
+            elif f == 1:
+                v = _vy_mirrors(v)
+            elif f == 2:
+                v = _vz_mirrors(v)
+            scr_new[f, q_edge] = v
+
+    # --- pass 1: P + stress planes q ∈ [1, B+3) ---------------------------
+    for q in range(1, B + 2 * HALO - 1):
+        ga = start + q  # global canvas x-index (traced scalar)
+        Vx_m, Vx_q = scr_in[IVX, q - 1], scr_in[IVX, q]
+        Vy_q, Vy_p = scr_in[IVY, q], scr_in[IVY, q + 1]
+        Vz_q, Vz_p = scr_in[IVZ, q], scr_in[IVZ, q + 1]
+        eta_q, eta_p = scr_k[0, q], scr_k[0, q + 1]
+        etat_q = scr_k[1, q]
+
+        dVxdx = (Vx_q - Vx_m) * inv_dx
+        dVydy = (Vy_q - _sp1(Vy_q, 0)) * inv_dy
+        dVzdz = (Vz_q - _sp1(Vz_q, 1)) * inv_dz
+        grad_V = dVxdx + dVydy + dVzdz
+
+        cell_x = (ga >= 1) & (ga <= nx)
+        Mc = yz_cell & cell_x
+        P_q = scr_in[IP, q]
+        scr_new[IP, q] = jnp.where(Mc, P_q - grad_V * etat_q * r_theta, P_q)
+
+        exx = dVxdx - grad_V * third
+        eyy = dVydy - grad_V * third
+        ezz = dVzdz - grad_V * third
+        t = scr_in[IXX, q]
+        scr_new[IXX, q] = jnp.where(Mc, t + dtau_r * (2.0 * eta_q * exx - t), t)
+        t = scr_in[IYY, q]
+        scr_new[IYY, q] = jnp.where(Mc, t + dtau_r * (2.0 * eta_q * eyy - t), t)
+        t = scr_in[IZZ, q]
+        scr_new[IZZ, q] = jnp.where(Mc, t + dtau_r * (2.0 * eta_q * ezz - t), t)
+
+        # shear strain at edges collocated on this plane
+        eyz = 0.5 * ((_sm1(Vy_q, 1) - Vy_q) * inv_dz + (_sm1(Vz_q, 0) - Vz_q) * inv_dy)
+        exz = 0.5 * ((_sm1(Vx_q, 1) - Vx_q) * inv_dz + (Vz_p - Vz_q) * inv_dx)
+        exy = 0.5 * ((_sm1(Vx_q, 0) - Vx_q) * inv_dy + (Vy_p - Vy_q) * inv_dx)
+
+        e_y = 0.5 * (eta_q + _sm1(eta_q, 0))
+        eta_yz = 0.5 * (e_y + _sm1(e_y, 1))
+        e_xz = 0.5 * (eta_q + eta_p)
+        eta_xz = 0.5 * (e_xz + _sm1(e_xz, 1))
+        eta_xy = 0.5 * (e_xz + _sm1(e_xz, 0))
+
+        t = scr_in[IYZ, q]
+        scr_new[IYZ, q] = jnp.where(
+            m_yz_e & cell_x, t + dtau_r * (2.0 * eta_yz * eyz - t), t
+        )
+        edge_x = (ga >= 1) & (ga <= nx - 1)
+        t = scr_in[IXZ, q]
+        scr_new[IXZ, q] = jnp.where(
+            m_xz_e & edge_x, t + dtau_r * (2.0 * eta_xz * exz - t), t
+        )
+        t = scr_in[IXY, q]
+        scr_new[IXY, q] = jnp.where(
+            m_xy_e & edge_x, t + dtau_r * (2.0 * eta_xy * exy - t), t
+        )
+
+    # --- pass 2: velocities planes q ∈ [1, B+3) ---------------------------
+    for q in range(1, B + 2 * HALO - 1):
+        ga = start + q
+        P_q = scr_new[IP, q]
+        P_p = scr_new[IP, q + 1]
+        txx_q, txx_p = scr_new[IXX, q], scr_new[IXX, q + 1]
+        tyy_q = scr_new[IYY, q]
+        tzz_q = scr_new[IZZ, q]
+        tyz_q = scr_new[IYZ, q]
+        txz_q, txz_m = scr_new[IXZ, q], scr_new[IXZ, q - 1]
+        txy_q, txy_m = scr_new[IXY, q], scr_new[IXY, q - 1]
+        etat_q, etat_p = scr_k[1, q], scr_k[1, q + 1]
+        fx_q, fx_p = scr_k[2, q], scr_k[2, q + 1]
+        fy_q = scr_k[3, q]
+        fz_q = scr_k[4, q]
+
+        face_x = (ga >= 1) & (ga <= nx - 1)
+        cell_x = (ga >= 1) & (ga <= nx)
+
+        rx = (
+            (txx_p - txx_q) * inv_dx
+            + (txy_q - _sp1(txy_q, 0)) * inv_dy
+            + (txz_q - _sp1(txz_q, 1)) * inv_dz
+            - (P_p - P_q) * inv_dx
+            - 0.5 * (fx_q + fx_p)
+        )
+        v = scr_in[IVX, q]
+        v = jnp.where(
+            yz_cell & face_x,
+            v + rx * (etadtau / (0.5 * (etat_q + etat_p))),
+            v,
+        )
+        # in-plane free-slip mirrors (front/back on b, top/bot on c)
+        v = jnp.where(yb(0, 0), _sm1(v, 0), v)
+        v = jnp.where(yb(ny + 1, ny + 1), _sp1(v, 0), v)
+        v = jnp.where(zb(0, 0), _sm1(v, 1), v)
+        v = jnp.where(zb(nz + 1, nz + 1), _sp1(v, 1), v)
+        scr_new[IVX, q] = v
+
+        ry = (
+            (txy_q - txy_m) * inv_dx
+            + (_sm1(tyy_q, 0) - tyy_q) * inv_dy
+            + (tyz_q - _sp1(tyz_q, 1)) * inv_dz
+            - (_sm1(P_q, 0) - P_q) * inv_dy
+            - 0.5 * (fy_q + _sm1(fy_q, 0))
+        )
+        v = scr_in[IVY, q]
+        v = jnp.where(
+            m_vy & cell_x,
+            v + ry * (etadtau / (0.5 * (etat_q + _sm1(etat_q, 0)))),
+            v,
+        )
+        v = jnp.where(zb(0, 0), _sm1(v, 1), v)
+        v = jnp.where(zb(nz + 1, nz + 1), _sp1(v, 1), v)
+        scr_new[IVY, q] = v
+
+        rz = (
+            (txz_q - txz_m) * inv_dx
+            + (tyz_q - _sp1(tyz_q, 0)) * inv_dy
+            + (_sm1(tzz_q, 1) - tzz_q) * inv_dz
+            - (_sm1(P_q, 1) - P_q) * inv_dz
+            - 0.5 * (fz_q + _sm1(fz_q, 1))
+        )
+        v = scr_in[IVZ, q]
+        v = jnp.where(
+            m_vz & cell_x,
+            v + rz * (etadtau / (0.5 * (etat_q + _sm1(etat_q, 1)))),
+            v,
+        )
+        v = jnp.where(yb(0, 0), _sm1(v, 0), v)
+        v = jnp.where(yb(ny + 1, ny + 1), _sp1(v, 0), v)
+        scr_new[IVZ, q] = v
+
+    # --- x-direction free-slip mirrors (left/right ghost planes) ----------
+    # serial order applies x mirrors LAST, wholesale plane copies of the
+    # already y/z-mirrored neighbors (ops/bc.py _free_slip_velocity_3d)
+    @pl.when(start == 0)
+    def _():
+        scr_new[IVY, 0] = scr_new[IVY, 1]
+        scr_new[IVZ, 0] = scr_new[IVZ, 1]
+
+    last_plane = B + 2 * HALO - 1
+
+    @pl.when(start + last_plane == nx + 1)
+    def _():
+        scr_new[IVY, last_plane] = scr_new[IVY, last_plane - 1]
+        scr_new[IVZ, last_plane] = scr_new[IVZ, last_plane - 1]
+
+    # --- emit the slab via a dynamic windowed ref load ---------------------
+    for f in range(10):
+        out_ref[f] = scr_new[f, pl.ds(off, B)]
+
+
+def stokes3d_iteration_planes(
+    carry: Array,
+    const: Array,
+    inv_di: Tuple[float, float, float],
+    r: float,
+    theta_dtau: float,
+    etadtau: float,
+    B: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """Plane-revolving twin of :func:`stokes3d_iteration_strips` (same
+    contract, same packed-canvas layouts, same serial-equivalence oracle)."""
+    _, X, Y, Z = carry.shape
+    nx, ny, nz = X - 2, Y - 2, Z - 2
+    if X % B:
+        raise ValueError(f"canvas x-dim {X} not divisible by slab size {B}")
+    dtype = carry.dtype
+    scal = jnp.stack([
+        jnp.asarray(v, dtype)
+        for v in (inv_di[0], inv_di[1], inv_di[2], r / theta_dtau,
+                  theta_dtau, etadtau)
+    ])
+    kern = partial(_kernel_planes, nx=nx, ny=ny, nz=nz, B=B, X=X)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(X // B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((10, B, Y, Z), lambda i, *_: (0, i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((10, B + 2 * HALO, Y, Z), dtype),
+                pltpu.VMEM((5, B + 2 * HALO, Y, Z), dtype),
+                pltpu.VMEM((10, B + 2 * HALO, Y, Z), dtype),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],

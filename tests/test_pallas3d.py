@@ -134,3 +134,57 @@ def test_pallas3d_rejects_bad_slab():
     const = pack_consts(eta, maxloc(eta, window=1), fx, fy, fz)
     with pytest.raises(ValueError, match="not divisible"):
         stokes3d_iteration_strips(carry, const, (1.0, 1.0, 1.0), 0.7, 1.0, 1.0, B=5)
+
+
+@pytest.mark.parametrize("ni,B", [((14, 10, 12), 8), ((22, 9, 7), 8), ((14, 10, 12), 4)])
+def test_pallas3d_planes_matches_serial_iteration(ni, B):
+    """Plane-revolving v2 kernel == the same serial composition."""
+    from justrelax_tpu.ops.pallas_stokes3d import stokes3d_iteration_planes
+
+    geometry = Geometry(ni, (1.0, 1.3, 0.8))
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di, CFL=0.9 / math.sqrt(3.1))
+    fields, (eta, fx, fy, fz) = _random_state(ni, seed=11)
+    eta_tau = maxloc(eta, window=1)
+
+    want = _serial_iteration(fields, (eta, fx, fy, fz), geometry, pt)
+    carry = pack_carry(*fields)
+    const = pack_consts(eta, eta_tau, fx, fy, fz)
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    out = stokes3d_iteration_planes(
+        carry, const, inv_di,
+        float(pt.r), float(pt.theta_dtau), float(pt.etadtau),
+        B=B, interpret=True,
+    )
+    got = unpack_carry(out, *ni)
+    names = ("Vx", "Vy", "Vz", "P", "txx", "tyy", "tzz", "tyz", "txz", "txy")
+    for name, a, b in zip(names, want, got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2e-13,
+            err_msg=f"pallas3d-planes mismatch in {name}",
+        )
+
+
+def test_pallas3d_planes_chained():
+    from justrelax_tpu.ops.pallas_stokes3d import stokes3d_iteration_planes
+
+    ni = (14, 10, 12)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di, CFL=0.9 / math.sqrt(3.1))
+    fields, (eta, fx, fy, fz) = _random_state(ni, seed=5)
+    eta_tau = maxloc(eta, window=1)
+    inv_di = tuple(1.0 / d for d in geometry.di)
+
+    want = fields
+    for _ in range(4):
+        want = _serial_iteration(want, (eta, fx, fy, fz), geometry, pt)
+    carry = pack_carry(*fields)
+    const = pack_consts(eta, eta_tau, fx, fy, fz)
+    for _ in range(4):
+        carry = stokes3d_iteration_planes(
+            carry, const, inv_di,
+            float(pt.r), float(pt.theta_dtau), float(pt.etadtau),
+            B=8, interpret=True,
+        )
+    got = unpack_carry(carry, *ni)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-12)
