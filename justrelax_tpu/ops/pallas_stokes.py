@@ -35,6 +35,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from justrelax_tpu.ops.stencil import av_a
+
 Array = Any
 
 __all__ = ["stokes_chunk_vmem", "vmem_bytes_needed"]
@@ -47,12 +49,13 @@ def vmem_bytes_needed(nx: int, ny: int, itemsize: int = 4) -> int:
     """Calibrated VMEM footprint of the chunk kernel.
 
     Mosaic's scoped-vmem accounting measured 16.54 MB at a 384² canvas for
-    this kernel (≈ 28 canvas-equivalents: 10 inputs + loop-carry double
-    buffers + hoisted invariants + in-body temporaries). Canvas dims are
-    padded to the (8, 128) f32 tile."""
+    the viscous kernel (≈ 28 canvas-equivalents: inputs + loop-carry double
+    buffers + hoisted invariants + in-body temporaries); the VE coefficient
+    canvases (cc 7 + vc 3 minus the dropped η/η_v hoists) raise it to ~34.
+    Canvas dims are padded to the (8, 128) f32 tile."""
     a = -((nx + 2) // -8) * 8
     b = -((ny + 2) // -128) * 128
-    return 28 * a * b * itemsize
+    return 34 * a * b * itemsize
 
 
 def _sm1(A, ax):
@@ -71,42 +74,41 @@ def _band(shape, axis, lo, hi):
 
 
 def _kernel(Vx_ref, Vy_ref, P_ref, txx_ref, tyy_ref, txy_ref,
-            eta_ref, etat_ref, gx_ref, gy_ref, scal_ref, nit_ref,
+            cc_ref, vc_ref, etat_ref, gx_ref, gy_ref, scal_ref, nit_ref,
             Vx_o, Vy_o, P_o, txx_o, tyy_o, txy_o,
             *, nx, ny, free_slip):
     shape = P_ref.shape
-    eta = eta_ref[:]
     etat = etat_ref[:]
+    # VE/compressible physics arrives as chunk-invariant COEFFICIENT
+    # canvases (precomputed host-side once per chunk; see stokes_chunk_vmem):
+    #   P   <- P*c1 + c2 - grad_V*c3
+    #   tau <- a*tau + b*eps + d        (d folds eta*_Gdt*tau_o)
+    # The viscous incompressible limit reduces to c1=1, c2=0, c3=psi,
+    # a=1-dtau_r, b=2*eta*dtau_r, d=0 — one kernel serves every limit.
+    c1, c2, c3 = cc_ref[0], cc_ref[1], cc_ref[2]
+    a_c, b_c, dxx_c, dyy_c = cc_ref[3], cc_ref[4], cc_ref[5], cc_ref[6]
+    a_v, b_v, dxy_v = vc_ref[0], vc_ref[1], vc_ref[2]
     third = 1.0 / 3.0
     # PT scalars arrive via SMEM so one compiled kernel serves any chunk
     # length and traced PTStokesCoeffs (solve_ve is jitted over them).
     inv_dx = scal_ref[0]
     inv_dy = scal_ref[1]
-    r_theta = scal_ref[2]
-    theta_dtau = scal_ref[3]
-    etadtau = scal_ref[4]
+    etadtau = scal_ref[2]
     nout = nit_ref[0]
 
     # -- static per-chunk quantities -------------------------------------
     # VMEM budget note: every hoisted full-canvas value is live for the whole
-    # loop, and scoped VMEM is ~16 MB. Only genuinely expensive invariants
-    # are hoisted (5 canvases: η_v, the two damped-update reciprocals — the
-    # divide would otherwise run per iteration — and the face forces); the
-    # freeze masks are recomputed in-loop from iota+compare, which is ~free
-    # on the VPU and keeps them out of the persistent working set (measured:
-    # hoisted masks push 382² past the 16 MB scoped-vmem limit).
-    #
-    # vertex viscosity: 4-cell average around vertex (i, j) = canvas (a, b):
-    # cells at canvases (a, b), (a+1, b), (a, b+1), (a+1, b+1)
-    eta_x = 0.5 * (eta + _sm1(eta, 0))
-    eta_v = 0.5 * (eta_x + _sm1(eta_x, 1))
+    # loop. Only genuinely expensive invariants are hoisted (the two damped-
+    # update reciprocals — the divide would otherwise run per iteration —
+    # and the face forces); the freeze masks are recomputed in-loop from
+    # iota+compare, which is ~free on the VPU and keeps them out of the
+    # persistent working set (measured: hoisted masks push 382² past the
+    # default 16 MB scoped-vmem limit).
     # face-averaged maxloc preconditioner, folded with ηdτ (divide hoisted)
     inv_etax = etadtau / (0.5 * (etat + _sm1(etat, 0)))
     inv_etay = etadtau / (0.5 * (etat + _sm1(etat, 1)))
     gxf = 0.5 * (gx_ref[:] + _sm1(gx_ref[:], 0))
     gyf = 0.5 * (gy_ref[:] + _sm1(gy_ref[:], 1))
-
-    dtau_r = 1.0 / (theta_dtau + 1.0)
 
     def body(_, carry):
         Vx, Vy, P, txx, tyy, txy = carry
@@ -116,23 +118,23 @@ def _kernel(Vx_ref, Vy_ref, P_ref, txx_ref, tyy_ref, txy_ref,
         MVx = _band(shape, 0, 1, nx - 1) & _band(shape, 1, 1, ny)     # int. x-faces
         MVy = _band(shape, 0, 1, nx) & _band(shape, 1, 1, ny - 1)     # int. y-faces
 
-        # divergence + pressure (incompressible viscous limit: ψ = ητ·r/θ)
+        # divergence + compressible VE pressure (coefficient form)
         dVxdx = (Vx - _sp1(Vx, 0)) * inv_dx
         dVydy = (Vy - _sp1(Vy, 1)) * inv_dy
         grad_V = dVxdx + dVydy
-        P = jnp.where(Mc, P - grad_V * etat * r_theta, P)
+        P = jnp.where(Mc, P * c1 + c2 - grad_V * c3, P)
 
-        # deviatoric strain rates + PT stress update (cells)
+        # deviatoric strain rates + VE PT stress update (cells)
         exx = dVxdx - grad_V * third
         eyy = dVydy - grad_V * third
-        txx = jnp.where(Mc, txx + dtau_r * (2.0 * eta * exx - txx), txx)
-        tyy = jnp.where(Mc, tyy + dtau_r * (2.0 * eta * eyy - tyy), tyy)
+        txx = jnp.where(Mc, a_c * txx + b_c * exx + dxx_c, txx)
+        tyy = jnp.where(Mc, a_c * tyy + b_c * eyy + dyy_c, tyy)
 
         # shear strain rate + stress at interior vertices
         exy = 0.5 * (
             (_sm1(Vx, 1) - Vx) * inv_dy + (_sm1(Vy, 0) - Vy) * inv_dx
         )
-        txy = jnp.where(Mv, txy + dtau_r * (2.0 * eta_v * exy - txy), txy)
+        txy = jnp.where(Mv, a_v * txy + b_v * exy + dxy_v, txy)
 
         # damped velocity update on interior faces
         rx = (
@@ -173,13 +175,22 @@ def stokes_chunk_vmem(
     Vx, Vy, P, txx, tyy, txy, eta, eta_tau, rho_gx, rho_gy,
     inv_dx: float, inv_dy: float, r: float, theta_dtau: float, etadtau: float,
     nout: int = 100, free_slip: bool = True, interpret: bool = False,
+    G=None, K=None, P0=None, Q=None, tau_o=None, dt=None,
 ):
-    """Run ``nout`` viscous APT iterations fully inside VMEM.
+    """Run ``nout`` APT iterations fully inside VMEM.
 
     Takes/returns the solver's staggered arrays (Vx (nx+1, ny+2),
     Vy (nx+2, ny+1), cell fields (nx, ny), τxy (nx+1, ny+1)); embedding into
     the common canvas happens here (host-side XLA pads, which are cheap and
     outside the hot loop).
+
+    Physics beyond the viscous incompressible limit enters through the
+    optional ``G``/``K`` (cell moduli, ∞ allowed), ``P0``/``Q`` (pressure
+    sources), ``tau_o`` ((τxx_o, τyy_o, τxy_o) elastic memory) and ``dt``:
+    the per-iteration updates are algebraically refactored into
+    chunk-invariant coefficient canvases (see _kernel) computed here once
+    per chunk, so the VE/compressible path costs the kernel nothing extra
+    per iteration. Omitting them reproduces the viscous limit exactly.
     """
     nx, ny = P.shape
     shape = (nx + 2, ny + 2)
@@ -188,9 +199,53 @@ def stokes_chunk_vmem(
         return jnp.pad(A, ((1, 1), (1, 1)), mode=mode)
 
     dtype = P.dtype
+    if dt is None:
+        dt = jnp.inf
+    inf_c = jnp.full((nx, ny), jnp.inf, dtype)
+    zero_c = jnp.zeros((nx, ny), dtype)
+    G = inf_c if G is None else G
+    K = inf_c if K is None else K
+    P0 = zero_c if P0 is None else P0
+    Q = zero_c if Q is None else Q
+    if tau_o is None:
+        tau_o = (zero_c, zero_c, jnp.zeros((nx + 1, ny + 1), dtype))
+    txx_o, tyy_o, txy_o = tau_o
+
+    # --- chunk-invariant coefficient canvases (serial formula references:
+    # ops/stokes.py compute_P / compute_tau_ve) ---------------------------
+    _Gdt = 1.0 / (G * dt)   # ∞ → 0
+    _Kdt = 1.0 / (K * dt)
+    inv_dt = jnp.where(jnp.isinf(dt), 0.0, 1.0 / dt)
+    psi = 1.0 / (1.0 / eta_tau + _Gdt) * (r / theta_dtau)
+    c1 = 1.0 / (1.0 + _Kdt * psi)
+    c2 = (P0 * _Kdt + Q * inv_dt) * psi * c1
+    c3 = psi * c1
+    dtau_r_c = 1.0 / (theta_dtau + eta * _Gdt + 1.0)
+    a_c = 1.0 - dtau_r_c * (1.0 + eta * _Gdt)
+    b_c = 2.0 * eta * dtau_r_c
+    coef_c = dtau_r_c * eta * _Gdt
+    cc = jnp.stack([
+        cell(c1, "edge"), cell(c2), cell(c3, "edge"),
+        cell(a_c, "edge"), cell(b_c, "edge"),
+        cell(coef_c * txx_o), cell(coef_c * tyy_o),
+    ])
+    # interior vertices: arithmetic averages exactly as the serial kernel
+    # (compute_tau_ve: av_a(eta), 1/(av_a(G)·dt))
+    eta_vi = av_a(eta)
+    _Gdt_vi = 1.0 / (av_a(G) * dt)
+    dtau_r_v = 1.0 / (theta_dtau + eta_vi * _Gdt_vi + 1.0)
+    a_vi = 1.0 - dtau_r_v * (1.0 + eta_vi * _Gdt_vi)
+    b_vi = 2.0 * eta_vi * dtau_r_v
+    dxy_vi = dtau_r_v * eta_vi * _Gdt_vi * txy_o[1:-1, 1:-1]
+
+    def vert(A):
+        # interior vertices (i, j = 1..n-1) sit at canvas (a=i, b=j)
+        return jnp.pad(A, ((1, 2), (1, 2)))
+
+    vc = jnp.stack([vert(a_vi), vert(b_vi), vert(dxy_vi)])
+
     scal = jnp.stack([
-        jnp.asarray(v, dtype)
-        for v in (inv_dx, inv_dy, r / theta_dtau, theta_dtau, etadtau)
+        jnp.asarray(v, dtype) for v in (inv_dx, inv_dy, etadtau)
     ])
     nit = jnp.asarray(nout, jnp.int32).reshape(1)
     canv = (
@@ -198,23 +253,25 @@ def stokes_chunk_vmem(
         jnp.pad(Vy, ((0, 0), (0, 1))),
         cell(P), cell(txx), cell(tyy),
         jnp.pad(txy, ((0, 1), (0, 1))),         # vertices at (i, j)
-        cell(eta, "edge"), cell(eta_tau, "edge"),
+        cc.astype(dtype), vc.astype(dtype),
+        cell(eta_tau, "edge"),
         cell(rho_gx, "edge"), cell(rho_gy, "edge"),
     )
 
     kern = partial(_kernel, nx=nx, ny=ny, free_slip=free_slip)
-    out_shape = tuple(jax.ShapeDtypeStruct(shape, a.dtype) for a in canv[:6])
+    out_shape = tuple(jax.ShapeDtypeStruct(shape, dtype) for _ in range(6))
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     # raise the scoped-VMEM budget above the conservative 16 MB default:
     # this kernel is a single unpipelined block (no grid double-buffering),
     # so the whole physical VMEM is available to the working set + Mosaic's
-    # stack temporaries (measured: ~28 canvas-equivalents live).
+    # stack temporaries (measured: ~28 canvas-equivalents live at 384²,
+    # ~34 with the VE coefficient canvases).
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     o = pl.pallas_call(
         kern,
         out_shape=out_shape,
-        in_specs=[vspec] * 10 + [sspec, sspec],
+        in_specs=[vspec] * 11 + [sspec, sspec],
         out_specs=(vspec,) * 6,
         input_output_aliases={i: i for i in range(6)},
         compiler_params=params,

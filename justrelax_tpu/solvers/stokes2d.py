@@ -107,13 +107,11 @@ def solve_ve(
     VMEM-resident Pallas kernel (ops/pallas_stokes.py) — HBM is touched once
     per chunk instead of once per iteration (measured on v5e at 382²:
     3.3 µs/iter = 44 grid-updates/ns = 2.8 TB/s effective T_eff, ~6× the
-    XLA streaming path per grid update). That kernel implements the
-    **viscous incompressible** limit with all-free-slip BCs on a uniform
-    serial grid: the caller MUST pass ``G = K = ∞`` and zero
-    ``P0``/``Q``/``tau_o`` — those inputs are ignored by the kernel (finite
-    G/K would silently yield the viscous answer; this cannot be checked at
-    trace time because they are traced arrays). Grids whose calibrated
-    working set exceeds the raised scoped-VMEM budget (~900² at f32) are
+    XLA streaming path per grid update). The kernel covers the full
+    visco-elastic compressible physics of this solver (G, K, P0, Q, τ_o
+    enter as chunk-invariant coefficient canvases); it requires
+    all-free-slip BCs on a uniform serial grid, and grids whose calibrated
+    working set exceeds the raised scoped-VMEM budget (~820² at f32) are
     rejected at trace time.
     """
     nx, ny = stokes.P.shape
@@ -222,6 +220,7 @@ def solve_ve(
                 c.Vx, c.Vy, c.P, c.txx, c.tyy, c.txy,
                 eta, eta_tau, rho_gx, rho_gy,
                 inv_dx, inv_dy, r, theta_dtau, etadtau, nout=nout,
+                G=G, K=K, P0=P0, Q=Q, tau_o=(txx_o, tyy_o, txy_o), dt=dt,
                 interpret=jax.default_backend() != "tpu",
             )
         else:

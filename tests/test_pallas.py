@@ -93,3 +93,56 @@ def test_solve_ve_use_pallas_validation():
     with pytest.raises(ValueError, match="VMEM"):
         solve_ve(big, pt, geom_big, bc, (zb, zb), jnp.full((1024, 1024), jnp.inf),
                  jnp.full((1024, 1024), jnp.inf), 0.1, use_pallas=True)
+
+
+def test_chunk_kernel_visco_elastic_compressible_matches_xla():
+    """The VE/compressible coefficient path of the chunk kernel == the XLA
+    fori path on the same chunk: finite G and K, nonzero tau_o memory, P0,
+    Q, both gravity components, variable viscosity (interpret mode, f64)."""
+    import math
+
+    from justrelax_tpu.solvers.stokes2d import solve_ve
+
+    n = 24
+    ni = (n, n)
+    geom = Geometry(ni, (1.0, 1.0))
+    pt = PTStokesCoeffs.make(geom.li, geom.di, CFL=1.0 / math.sqrt(2.1),
+                             eps_abs=0.0, eps_rel=0.0)
+    rng = np.random.default_rng(2)
+    eta = jnp.asarray(np.exp(rng.uniform(0, 2, ni)))
+    stokes = StokesState.make(ni)
+    stokes = stokes.replace(
+        viscosity=stokes.viscosity.replace(eta=eta),
+        P0=jnp.asarray(rng.standard_normal(ni)) * 0.1,
+        Q=jnp.asarray(rng.standard_normal(ni)) * 0.05,
+        tau_o=stokes.tau_o.replace(
+            xx=jnp.asarray(rng.standard_normal(ni)) * 0.1,
+            yy=jnp.asarray(rng.standard_normal(ni)) * 0.1,
+            xy=jnp.asarray(rng.standard_normal((n + 1, n + 1))) * 0.1,
+        ),
+    )
+    rho_g = (jnp.asarray(rng.standard_normal(ni)) * 0.3,
+             1.0 + jnp.asarray(rng.standard_normal(ni)) * 0.2)
+    G = jnp.full(ni, 4.0)
+    K = jnp.full(ni, 9.0)
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    kwargs = dict(iter_max=400, nout=200)
+    ref, info_ref = solve_ve(stokes, pt, geom, bc, rho_g, G, K, 0.5, **kwargs)
+    out, info_out = solve_ve(stokes, pt, geom, bc, rho_g, G, K, 0.5,
+                             use_pallas=True, **kwargs)
+    assert int(info_ref.iters) == int(info_out.iters) == 400
+    for name in ("P", "txx", "tyy"):
+        a = getattr(ref.tau, name[1:]) if name.startswith("t") else ref.P
+        b = getattr(out.tau, name[1:]) if name.startswith("t") else out.P
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=2e-12, err_msg=name)
+    np.testing.assert_allclose(np.asarray(ref.V.Vx), np.asarray(out.V.Vx),
+                               rtol=0, atol=2e-12)
+    np.testing.assert_allclose(np.asarray(ref.V.Vy), np.asarray(out.V.Vy),
+                               rtol=0, atol=2e-12)
+    np.testing.assert_allclose(np.asarray(ref.tau.xy), np.asarray(out.tau.xy),
+                               rtol=0, atol=2e-12)
+    np.testing.assert_allclose(float(info_ref.err), float(info_out.err),
+                               rtol=1e-9)
