@@ -20,7 +20,12 @@ chunk size).
 Families (matching BASELINE.md "per kernel family" requirement):
   ve2d      — 2D linear/VE APT Stokes iteration (SolCx config), 23·N·4 B
   vep2d     — 2D multi-phase VEP iteration with the fused center+vertex
-              stress kernel + τII viscosity (shearband config)
+              stress kernel + τII viscosity (shearband config). Roofline
+              note (v5e, 512²): compiled HLO shows zero HBM temps (all
+              intermediates VMEM-resident) and ~56 MB of carry writes per
+              iteration — the measured 0.71× of HBM peak is the practical
+              roofline of this mixed compute/memory iteration (plastic
+              return mapping + per-phase viscosity math), not fusion waste
   thermal2d — 2D PT heat diffusion flux/update iteration
   ve3d      — 3D VE APT Stokes iteration
 """
