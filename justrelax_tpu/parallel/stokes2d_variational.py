@@ -262,14 +262,22 @@ def solve_variational_sharded(
         def residual_norms(c: C):
             rho_gx, rho_gy = rho_g_fields(c.P)
             Rx, Ry = masked_momentum(c.P, c.txx, c.tyy, c.txy_v, rho_gx, rho_gy)
-            # ownership masks: the serial Rx covers global interior faces
-            # 1..nx_g-1; zero-masked air faces are already zero
+            # ownership masks matching the serial norm window
+            # Rx[1:-1, 1:-1] (global faces 2..n-2, rows 1..n-2): boundary-
+            # adjacent rows are BC-slaved (no_slip row1=row2/3), not DOFs —
+            # plain-solver convention, reference Stokes2D.jl:806-810
             gfx = rx * nxl + jnp.arange(nxl + 1)
             own_x = jnp.arange(nxl + 1) >= 1
-            mx = (own_x & (gfx >= 1) & (gfx <= nx_g - 1))[:, None]
+            grx = ry * nyl + jnp.arange(nyl)
+            mx = (own_x & (gfx >= 2) & (gfx <= nx_g - 2))[:, None] & (
+                (grx >= 1) & (grx <= ny_g - 2)
+            )[None, :]
             gfy = ry * nyl + jnp.arange(nyl + 1)
             own_y = jnp.arange(nyl + 1) >= 1
-            my = (own_y & (gfy >= 1) & (gfy <= ny_g - 1))[None, :]
+            gry = rx * nxl + jnp.arange(nxl)
+            my = (own_y & (gfy >= 2) & (gfy <= ny_g - 2))[None, :] & (
+                (gry >= 1) & (gry <= nx_g - 2)
+            )[:, None]
             ss_x = lax.psum(jnp.sum(jnp.where(mx, Rx, 0.0) ** 2), ("x", "y"))
             ss_y = lax.psum(jnp.sum(jnp.where(my, Ry, 0.0) ** 2), ("x", "y"))
             ss_p = lax.psum(jnp.sum(c.RP**2), ("x", "y"))

@@ -222,10 +222,19 @@ def solve_variational(
         )
 
     def residual_norms(c: C):
+        # Boundary-adjacent rows/columns are excluded like the plain solvers
+        # (reference Stokes2D.jl:806-810, Rx[2:end-1, 2:end-1]): no_slip
+        # slaves the first interior tangential row (no_slip.jl:11-12,
+        # Ax[:,2]=Ax[:,3]/3), so it is not a DOF and its momentum residual
+        # never vanishes. The reference variational norm (variational
+        # Stokes2D.jl:256-258) keeps those rows and consequently cannot meet
+        # its own rel-tolerance at a no-slip wall (its free-surface miniapps
+        # run without convergence asserts); we use the plain-solver
+        # convention for both paths.
         rho_gx, rho_gy = rho_g_fields(c.P)
         Rx, Ry = masked_momentum(c.P, c.txx, c.tyy, c.txy_v, rho_gx, rho_gy)
-        nRx = _norm(Rx) / math.sqrt((nx - 2) * (ny - 1))
-        nRy = _norm(Ry) / math.sqrt((nx - 1) * (ny - 2))
+        nRx = _norm(Rx[1:-1, 1:-1]) / math.sqrt((nx - 2) * (ny - 1))
+        nRy = _norm(Ry[1:-1, 1:-1]) / math.sqrt((nx - 1) * (ny - 2))
         nRP = _norm(c.RP) / math.sqrt(nx * ny)
         return nRx, nRy, nRP, Rx, Ry
 
