@@ -173,6 +173,22 @@ def phase_viscosity(
     return jnp.where(dominant, eta_dom, harm)
 
 
+def correct_phase_ratio(phase_ratios: Array, air_phase: int) -> Array:
+    """Zero the air-phase slot and renormalize over the rock phases
+    (reference correct_phase_ratio, Viscosity.jl:638-650). Pure-air cells
+    return all-zero ratios — their harmonic-blend viscosity then collapses
+    to the lower cutoff, matching the reference's clamped air viscosity
+    (those cells are masked out of the variational system anyway; the value
+    only leaks through the maxloc ητ preconditioner)."""
+    nphase = phase_ratios.shape[-1]
+    mask = jnp.arange(nphase) != air_phase
+    corrected = phase_ratios * mask
+    total = jnp.sum(corrected, axis=-1, keepdims=True)
+    pure_air = phase_ratios[..., air_phase] > 1.0 - 1.0e-12
+    out = corrected / jnp.maximum(total, 1.0e-300)
+    return jnp.where(pure_air[..., None], 0.0, out)
+
+
 def compute_viscosity_fields(
     eta: Array,
     eta_v: Array,
@@ -192,12 +208,18 @@ def compute_viscosity_fields(
     cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
     P: Optional[Array] = None,
     P_v: Optional[Array] = None,
+    air_phase: Optional[int] = None,
 ):
     """Update (η centers, ηv vertices) from the tensor fields.
 
     Mirrors compute_viscosity_kernel! (Viscosity.jl:371-418): the invariant at
     centers uses (xx, yy, xy_c) directly; at vertices (xx_v, yy_v, xy).
+    With ``air_phase`` set, the air slot is excluded from the phase blend
+    (Viscosity.jl:403-404, used by the variational free-surface solvers).
     """
+    if air_phase is not None:
+        phase_ratios_center = correct_phase_ratio(phase_ratios_center, air_phase)
+        phase_ratios_vertex = correct_phase_ratio(phase_ratios_vertex, air_phase)
     eps0_c = jnp.where((xx == 0) & (yy == 0) & (xy_c == 0), jnp.finfo(xx.dtype).eps, 0.0)
     II_c = second_invariant(xx + eps0_c, yy - eps0_c, xy_c)
     eta_new = phase_viscosity(material, II_c, T, phase_ratios_center, mode, P=P)

@@ -46,6 +46,7 @@ __all__ = ["solve_variational"]
     static_argnames=(
         "geometry", "flow_bc", "iter_max", "iter_min", "nout",
         "viscosity_relaxation", "lambda_relaxation", "viscosity_cutoff",
+        "air_phase", "mask_step_floor", "free_surface",
     ),
 )
 def solve_variational(
@@ -65,6 +66,9 @@ def solve_variational(
     viscosity_relaxation: float = 1.0e-2,
     lambda_relaxation: float = 0.2,
     viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
+    air_phase: Optional[int] = None,
+    mask_step_floor: float = 1.0,
+    free_surface: bool = False,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     nx, ny = stokes.P.shape
     if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
@@ -114,8 +118,17 @@ def solve_variational(
         exy = jnp.where(vm.v, exy, 0.0)
         return grad_V, exx, eyy, exy
 
-    def masked_momentum(P, txx, tyy, txy, rho_gx, rho_gy):
-        """ϕ-weighted derivatives (masked MiniKernels) + face validity."""
+    def masked_momentum(P, txx, tyy, txy, rho_gx, rho_gy, Vy=None):
+        """ϕ-weighted derivatives (masked MiniKernels) + face validity.
+
+        With ``free_surface`` and a finite dt, adds the masked stabilization
+        term Vy·∂(ϕρg)/∂y·θ·dt to the y-momentum (reference variational
+        compute_Vy!, variational_stokes/VelocityKernels.jl:332-404). This is
+        the piston-mode damper: with an open (masked) surface, rigid vertical
+        column motion is viscously undamped in pseudo-time and the plain
+        scheme sustains a P↔Vy oscillation (the reference free-surface
+        miniapps run it unstabilized and never meet their own tolerances).
+        """
         Pw = P * phi.center
         txxw = txx * phi.center
         tyyw = tyy * phi.center
@@ -136,6 +149,10 @@ def solve_variational(
             - (Pw[:, 1:] - Pw[:, :-1]) * syy
             - 0.5 * (gyw[:, 1:] + gyw[:, :-1])
         )
+        if free_surface and Vy is not None:
+            # ∂(ϕρg)/∂y between adjacent centers, same spacing family as ∂yP
+            drho = (gyw[:, 1:] - gyw[:, :-1]) * syy
+            Ry = Ry + Vy[1:-1, 1:-1] * drho * dt
         Rx = jnp.where(vm.vx[1:-1, :], Rx, 0.0)
         Ry = jnp.where(vm.vy[:, 1:-1], Ry, 0.0)
         return Rx, Ry
@@ -191,23 +208,37 @@ def solve_variational(
             jnp.zeros_like(c.eta_v), jnp.zeros_like(c.eta_v), txy_v,
             phase_ratios_center, phase_ratios_vertex,
             mode="tau", relaxation=viscosity_relaxation, cutoff=viscosity_cutoff,
+            air_phase=air_phase,
         )
-        Rx, Ry = masked_momentum(P_new, txx, tyy, txy_v, rho_gx, rho_gy)
+        Rx, Ry = masked_momentum(P_new, txx, tyy, txy_v, rho_gx, rho_gy, Vy=c.Vy)
         etax = 0.5 * (eta_tau[1:, :] + eta_tau[:-1, :])
         etay = 0.5 * (eta_tau[:, 1:] + eta_tau[:, :-1])
+        # Rock-fraction step preconditioner (improvement over the reference):
+        # the ϕ-weighted momentum row at a face scales ~linearly with the
+        # face rock fraction, so near-empty interface faces (ϕ≈cutoff) are
+        # arbitrarily slow modes of the reference scheme — its free-surface
+        # miniapps never meet their own tolerances. Dividing the pseudo-step
+        # by max(ϕ_face, floor) restores uniform spectral bounds; ϕ≡1 is
+        # bit-identical to the reference update.
+        pcx = jnp.maximum(phi.Vx[1:-1, :], mask_step_floor)
+        pcy = jnp.maximum(phi.Vy[:, 1:-1], mask_step_floor)
         # fused masked add + invalid-face hard-zeroing (reference
         # compute_V!:195-215); mask+select instead of slab .at updates —
         # see ops/stencil.py::interior_set (3x on v5e)
         Vx = interior_set(
             c.Vx,
             jnp.where(
-                vm.vx[1:-1, :], c.Vx[1:-1, 1:-1] + Rx * etadtau / etax, 0.0
+                vm.vx[1:-1, :],
+                c.Vx[1:-1, 1:-1] + Rx * etadtau / (etax * pcx),
+                0.0,
             ),
         )
         Vy = interior_set(
             c.Vy,
             jnp.where(
-                vm.vy[:, 1:-1], c.Vy[1:-1, 1:-1] + Ry * etadtau / etay, 0.0
+                vm.vy[:, 1:-1],
+                c.Vy[1:-1, 1:-1] + Ry * etadtau / (etay * pcy),
+                0.0,
             ),
         )
         Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
@@ -232,7 +263,7 @@ def solve_variational(
         # run without convergence asserts); we use the plain-solver
         # convention for both paths.
         rho_gx, rho_gy = rho_g_fields(c.P)
-        Rx, Ry = masked_momentum(c.P, c.txx, c.tyy, c.txy_v, rho_gx, rho_gy)
+        Rx, Ry = masked_momentum(c.P, c.txx, c.tyy, c.txy_v, rho_gx, rho_gy, Vy=c.Vy)
         nRx = _norm(Rx[1:-1, 1:-1]) / math.sqrt((nx - 2) * (ny - 1))
         nRy = _norm(Ry[1:-1, 1:-1]) / math.sqrt((nx - 1) * (ny - 2))
         nRP = _norm(c.RP) / math.sqrt(nx * ny)
