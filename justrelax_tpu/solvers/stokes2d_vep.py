@@ -47,6 +47,57 @@ def _gather4(A):
     return (A[:-1, :-1], A[1:, :-1], A[:-1, 1:], A[1:, 1:])
 
 
+def solve_vep(
+    stokes,
+    pt_stokes,
+    geometry,
+    flow_bc,
+    material,
+    phase_ratios_center,
+    phase_ratios_vertex,
+    dt,
+    T=None,
+    use_pallas: bool = False,
+    pallas_has_cap=None,
+    **kwargs,
+):
+    """Public entry. ``use_pallas`` support checks need concrete material
+    leaves, so they run here (outside jit); the solve itself is
+    :func:`_solve_vep`."""
+    if use_pallas and pallas_has_cap is None:
+        import numpy as _np
+
+        from justrelax_tpu.ops.pallas_stokes_vep import (
+            VEP_VMEM_BUDGET,
+            vep_chunk_supported,
+            vep_vmem_bytes_needed,
+        )
+        from justrelax_tpu.rheology.materials import _as_stack
+
+        if not vep_chunk_supported(
+            material, geometry, flow_bc, kwargs.get("free_surface", False)
+        ):
+            raise ValueError(
+                "use_pallas requires linear creep, constant density, a "
+                "uniform grid, all-free-slip BCs and no free-surface term"
+            )
+        nx, ny = stokes.P.shape
+        if vep_vmem_bytes_needed(nx, ny) > VEP_VMEM_BUDGET:
+            raise ValueError(
+                f"grid {nx}x{ny} exceeds the VEP VMEM chunk budget "
+                f"({vep_vmem_bytes_needed(nx, ny)} > {VEP_VMEM_BUDGET} B)"
+            )
+        pallas_has_cap = bool(
+            _np.any(_np.asarray(_as_stack(material).params.tension_pT) != 0)
+        )
+    return _solve_vep(
+        stokes, pt_stokes, geometry, flow_bc, material,
+        phase_ratios_center, phase_ratios_vertex, dt, T=T,
+        use_pallas=use_pallas, pallas_has_cap=bool(pallas_has_cap or False),
+        **kwargs,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -59,9 +110,11 @@ def _gather4(A):
         "viscosity_relaxation",
         "lambda_relaxation",
         "viscosity_cutoff",
+        "use_pallas",
+        "pallas_has_cap",
     ),
 )
-def solve_vep(
+def _solve_vep(
     stokes: StokesState,
     pt_stokes: PTStokesCoeffs,
     geometry,
@@ -78,7 +131,15 @@ def solve_vep(
     viscosity_relaxation: float = 1.0e-2,
     lambda_relaxation: float = 0.2,
     viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
+    use_pallas: bool = False,
+    pallas_has_cap: bool = False,
 ) -> Tuple[StokesState, StokesSolveInfo]:
+    """``use_pallas=True`` runs each chunk's first ``nout-1`` iterations
+    inside the VMEM-resident Pallas VEP kernel (ops/pallas_stokes_vep.py,
+    1.7x the XLA iteration on v5e) and the chunk's last iteration on the
+    XLA path so every diagnostic (tau_II, eta_vep, eps_pl, RP) is produced
+    with identical semantics. Requires linear creep, constant density, a
+    uniform grid, all-free-slip BCs and a VMEM-resident grid."""
     nx, ny = stokes.P.shape
     if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
         # same kernel families as the VE solver (reference
@@ -206,7 +267,30 @@ def solve_vep(
         return (c.chunk < min_chunks) | (not_conv & (c.chunk < max_chunks))
 
     def body(c: C):
-        c = lax.fori_loop(0, nout_i, one_iteration, c)
+        if use_pallas:
+            from justrelax_tpu.ops.pallas_stokes_vep import (
+                stokes_vep_chunk_vmem,
+            )
+
+            out = stokes_vep_chunk_vmem(
+                c.Vx, c.Vy, c.theta, c.P, c.txx, c.tyy, c.txy_c, c.txy_v,
+                c.eta, c.eta_v, c.lam, c.lam_v,
+                P0, Q, txx_o, tyy_o, txy_c_o, txy_v_o, EII_pl,
+                material, phase_ratios_center, phase_ratios_vertex, T,
+                dt, inv_dx, inv_dy, pt_stokes.r, pt_stokes.theta_dtau,
+                pt_stokes.etadtau, lambda_relaxation, viscosity_relaxation,
+                viscosity_cutoff, nout=nout_i - 1,
+                interpret=jax.default_backend() != "tpu",
+                has_cap=pallas_has_cap,
+            )
+            c = c._replace(
+                Vx=out[0], Vy=out[1], theta=out[2], P=out[3], txx=out[4],
+                tyy=out[5], txy_c=out[6], txy_v=out[7], eta=out[8],
+                eta_v=out[9], lam=out[10], lam_v=out[11],
+            )
+            c = one_iteration(0, c)
+        else:
+            c = lax.fori_loop(0, nout_i, one_iteration, c)
         nRx, nRy, nRP, _, _ = residual_norms(c)
         err = jnp.maximum(jnp.maximum(nRx, nRy), nRP)
         err1 = jnp.where(c.chunk == 0, err, c.err1)
