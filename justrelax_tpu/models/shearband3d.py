@@ -91,3 +91,76 @@ def run(n=16, nt=8, eps_bg=1.0, dtype=None):
         tau_hist.append(float(tau_II.max()))
         sol_hist.append(2.0 * eps_bg * eta0 * (1.0 - math.exp(-G0 * t / eta0)))
     return stokes, info, tau_hist, sol_hist
+
+
+def run_multi(n=16, nt=6, eps_bg=1.0, dtype=None):
+    """Five weak inclusions under pure shear (reference
+    miniapps/benchmarks/stokes3D/shear_band/MultipleInclusions3D.jl:22-175):
+    four spheres of radius 0.075 plus a central one of radius 0.1, all with
+    G/2 and the SAME viscosity as the background (only the elasticity is
+    perturbed — the script defines visc_inc = η0/10 but its phase-2
+    composite uses `visc`, MultipleInclusions3D.jl:87-112), DP plasticity,
+    dt = η0/G0/8, free-slip box. Shear bands link the inclusions; τ_xx
+    follows the Maxwell buildup until the DP cap."""
+    ni = (n, n, n)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    tau_y, phi = 1.6, 30.0
+    eta0, G0 = 1.0, 1.0
+    Gi = G0 / 2.0
+    eta_reg = 1.25e-2
+    dt = eta0 / G0 / 8.0  # MultipleInclusions3D.jl:84-85 (1/4 then /= 2)
+    C = tau_y / math.cos(math.radians(phi))
+    common = dict(
+        rho0=0.0, Kb=jnp.inf, is_plastic=1.0, C=C,
+        friction_angle=phi, dilation_angle=0.0, eta_reg=eta_reg,
+    )
+    material = MaterialStack.make([
+        Material(G=G0, eta0=eta0, **common),
+        Material(G=Gi, eta0=eta0, **common),
+    ])
+
+    radii = (0.075, 0.075, 0.075, 0.075, 0.1)
+    centers = ((0.4, 0.25, 0.25), (0.25, 0.6, 0.25), (0.25, 0.85, 0.75),
+               (0.75, 0.35, 0.75), (0.5, 0.5, 0.5))
+    X, Y, Z = np.meshgrid(*[np.asarray(c) for c in geometry.xci], indexing="ij")
+    inside = np.zeros(ni, bool)
+    for (cx, cy, cz), rad in zip(centers, radii):
+        inside |= (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2 < rad**2
+    pr = phase_ratios_from_field(jnp.asarray(inside.astype(int)), 2)
+
+    stokes = StokesState.make(ni, dtype=dtype)
+    dt_f = stokes.P.dtype
+    stokes = stokes.replace(
+        viscosity=stokes.viscosity.replace(eta=jnp.full(ni, eta0, dt_f))
+    )
+    xv = jnp.asarray(geometry.xvi[0], dt_f)
+    zv = jnp.asarray(geometry.xvi[2], dt_f)
+    Vx = jnp.broadcast_to((eps_bg * xv)[:, None, None], (n + 1, n + 2, n + 2))
+    Vy = jnp.zeros((n + 2, n + 1, n + 2), dt_f)
+    Vz = jnp.broadcast_to((-eps_bg * zv)[None, None, :], (n + 2, n + 2, n + 1))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True,
+                        front=True, back=True)
+    )
+    Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), bc)
+    stokes = stokes.replace(V=stokes.V.replace(Vx=Vx, Vy=Vy, Vz=Vz))
+
+    pt = PTStokesCoeffs.make(
+        geometry.li, geometry.di, CFL=0.75 / math.sqrt(3.1),
+        eps_rel=1.0e-5, eps_abs=1.0e-5,
+    )
+
+    t = 0.0
+    tau_hist, sol_hist = [], []
+    info = None
+    for _ in range(nt):
+        stokes, info = solve_vep_3d(
+            stokes, pt, geometry, bc, material, pr.center,
+            (pr.edge_yz, pr.edge_xz, pr.edge_xy), dt,
+            iter_max=30_000, iter_min=100, nout=200,
+            viscosity_relaxation=1.0,
+        )
+        t += dt
+        tau_hist.append(float(stokes.tau.xx.max()))
+        sol_hist.append(2.0 * eps_bg * eta0 * (1.0 - math.exp(-G0 * t / eta0)))
+    return stokes, info, tau_hist, sol_hist
