@@ -47,6 +47,7 @@ def solve_ve_3d(
     nout: int = 500,
     mean_free_RP: bool = False,
     boundary_shear: bool = False,
+    alpha_dT=None,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """``mean_free_RP`` deflates the constant pressure-nullspace mode: with
     velocity imposed on every boundary, discretely incompatible boundary data
@@ -89,7 +90,8 @@ def solve_ve_3d(
         grad_V = k3.compute_grad_V_3d(Vx, Vy, Vz, inv_di)
         if mean_free_RP:
             grad_V = grad_V - jnp.mean(grad_V)
-        RP, P = compute_P(c.P, P0, grad_V, Q, eta, K, G, dt, r, theta_dtau)
+        RP, P = compute_P(c.P, P0, grad_V, Q, eta, K, G, dt, r,
+                          theta_dtau, alpha_dT=alpha_dT)
         eps = k3.compute_strain_rate_3d(grad_V, Vx, Vy, Vz, inv_di, inv_di_v)
         tau = k3.compute_tau_ve_3d(c.tau, tau_o, eps, eta, G, theta_dtau, dt, boundary_shear=boundary_shear)
         Vx, Vy, Vz, Rx, Ry, Rz = k3.compute_V_3d(

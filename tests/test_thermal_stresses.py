@@ -134,3 +134,32 @@ def test_magma_chamber_thermal_pressurization():
     dT = np.asarray(thermal.T - thermal.Told)[1:-1, 1:-1]
     bound = (1.0 / 6.0e-11) * 6.0e-5 * np.abs(dT).max()
     assert np.abs(P).max() < bound * 1.5
+
+
+@pytest.mark.slow
+def test_magma_chamber_thermal_pressurization_3d():
+    """3D spherical chamber (reference
+    Thermal_Stress_Magma_Chamber_nondim3D.jl): same Kiss 2023 coupling
+    as the 2D test through solve_ve_3d's alpha_dT pressure source."""
+    from justrelax_tpu.models.thermal_stresses import run_3d
+
+    stokes, thermal, phi, info, chamber = run_3d(n=24, nt=2)
+    assert int(info.iters) < 100_000
+    assert float(info.err) < 1.0e-6
+
+    P = np.asarray(stokes.P)
+    phi = np.asarray(phi)
+    ax = np.linspace(-1, 1, P.shape[0])
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    rr = np.sqrt(X**2 + Y**2 + Z**2)  # chamber radius 0.25 normalized
+    core = rr < 0.15
+    assert phi[core].min() > 0.95
+    assert phi[~chamber].max() < 0.5
+
+    far = rr > 0.8
+    near = ~chamber & ~far
+    assert P[near].max() > 10.0 * abs(P[far]).max()
+    assert P[chamber].min() < -10.0 * abs(P[far]).max()
+    dT = np.asarray(thermal.T - thermal.Told)[1:-1, 1:-1, 1:-1]
+    bound = (1.0 / 6.0e-11) * 6.0e-5 * np.abs(dT).max()
+    assert np.abs(P).max() < bound * 1.5
