@@ -66,11 +66,41 @@ def compute_bulk_viscosity_and_penalty(material, pr_center, eta, gfact, dt):
     return Kbdt, gamma_eff
 
 
-def gershgorin_schur_2d(eta, eta_v, gamma_eff, pr_center, pr_vertex, material, di, dt):
+def gershgorin_schur_2d(eta, eta_v, gamma_eff, pr_center, pr_vertex, material,
+                        di, dt, spacings=None):
     """Diagonal preconditioners (Dx, Dy) and Gershgorin λmax estimates for
-    the velocity Schur complement (Gershgorin.jl:21-155)."""
+    the velocity Schur complement (Gershgorin.jl:21-155).
+
+    ``spacings = (dcx, dcy, dvx, dvy)`` activates the nonuniform-grid bound
+    with the reference's per-face spacing families (Gershgorin.jl:45-46
+    dx=di_center[i], dy=di_vertex[j] at x faces; :106-107 mirrored at y
+    faces)."""
     nx, ny = eta.shape
-    _dx, _dy = 1.0 / di[0], 1.0 / di[1]
+    if spacings is None:
+        _dx_x = _dx_y = 1.0 / di[0]
+        _dy_x = _dy_y = 1.0 / di[1]
+    else:
+        # Per-face MAX inverse spacing over both families touching the row:
+        # the momentum rows mix center and vertex spacings (∂x at a face is
+        # 1/dvx_f times a stress built with 1/dcx of either neighbor cell),
+        # so a valid Gershgorin upper bound must majorize every product;
+        # the max-family form is exact on uniform grids and conservative
+        # (smaller dτ) where spacings vary.
+        dcx, dcy, dvx, dvy = spacings
+        inv_dcx, inv_dvx = 1.0 / dcx, 1.0 / dvx
+        inv_dcy, inv_dvy = 1.0 / dcy, 1.0 / dvy
+        _dx_x = jnp.maximum(
+            inv_dvx[1:-1], jnp.maximum(inv_dcx[:-1], inv_dcx[1:])
+        )  # (nx-1, 1) interior x faces
+        _dy_x = jnp.maximum(
+            inv_dcy, jnp.maximum(inv_dvy[:, :-1], inv_dvy[:, 1:])
+        )  # (1, ny)
+        _dy_y = jnp.maximum(
+            inv_dvy[:, 1:-1], jnp.maximum(inv_dcy[:, :-1], inv_dcy[:, 1:])
+        )  # (1, ny-1) interior y faces
+        _dx_y = jnp.maximum(
+            inv_dcx, jnp.maximum(inv_dvx[:-1], inv_dvx[1:])
+        )  # (nx, 1)
     c43, c23 = 4.0 / 3.0, 2.0 / 3.0
 
     G_c = get_shear_modulus(material, pr_center)
@@ -85,19 +115,19 @@ def gershgorin_schur_2d(eta, eta_v, gamma_eff, pr_center, pr_vertex, material, d
     eE = eta_ve_c[1:, :]  # η[i+1, j]
     gW = gamma_eff[:-1, :]
     gE = gamma_eff[1:, :]
-    Dx = (eN + eS) * _dy * _dy + (gE + gW + c43 * (eE + eW)) * _dx * _dx
+    Dx = (eN + eS) * _dy_x * _dy_x + (gE + gW + c43 * (eE + eW)) * _dx_x * _dx_x
     Cxx = (
-        jnp.abs(eN * _dy * _dy)
-        + jnp.abs(eS * _dy * _dy)
-        + jnp.abs((gE + c43 * eE) * _dx * _dx)
-        + jnp.abs((gW + c43 * eW) * _dx * _dx)
+        jnp.abs(eN * _dy_x * _dy_x)
+        + jnp.abs(eS * _dy_x * _dy_x)
+        + jnp.abs((gE + c43 * eE) * _dx_x * _dx_x)
+        + jnp.abs((gW + c43 * eW) * _dx_x * _dx_x)
         + jnp.abs(Dx)
     )
     Cxy = (
-        jnp.abs((gE - c23 * eE + eN) * _dx * _dy)
-        + jnp.abs((gE - c23 * eE + eS) * _dx * _dy)
-        + jnp.abs((gW + eN - c23 * eW) * _dx * _dy)
-        + jnp.abs((gW + eS - c23 * eW) * _dx * _dy)
+        jnp.abs((gE - c23 * eE + eN) * _dx_x * _dy_x)
+        + jnp.abs((gE - c23 * eE + eS) * _dx_x * _dy_x)
+        + jnp.abs((gW + eN - c23 * eW) * _dx_x * _dy_x)
+        + jnp.abs((gW + eS - c23 * eW) * _dx_x * _dy_x)
     )
     lmax_x = (Cxx + Cxy) / Dx
 
@@ -108,19 +138,19 @@ def gershgorin_schur_2d(eta, eta_v, gamma_eff, pr_center, pr_vertex, material, d
     eN2 = eta_ve_c[:, 1:]  # η[i, j+1]
     gS = gamma_eff[:, :-1]
     gN = gamma_eff[:, 1:]
-    Dy = (gN + gS + c43 * (eN2 + eS2)) * _dy * _dy + (eE2 + eW2) * _dx * _dx
+    Dy = (gN + gS + c43 * (eN2 + eS2)) * _dy_y * _dy_y + (eE2 + eW2) * _dx_y * _dx_y
     Cyy = (
-        jnp.abs(eE2 * _dx * _dx)
-        + jnp.abs(eW2 * _dx * _dx)
-        + jnp.abs((gN + c43 * eN2) * _dy * _dy)
-        + jnp.abs((gS + c43 * eS2) * _dy * _dy)
+        jnp.abs(eE2 * _dx_y * _dx_y)
+        + jnp.abs(eW2 * _dx_y * _dx_y)
+        + jnp.abs((gN + c43 * eN2) * _dy_y * _dy_y)
+        + jnp.abs((gS + c43 * eS2) * _dy_y * _dy_y)
         + jnp.abs(Dy)
     )
     Cyx = (
-        jnp.abs((gN + eE2 - c23 * eN2) * _dx * _dy)
-        + jnp.abs((gN - c23 * eN2 + eW2) * _dx * _dy)
-        + jnp.abs((gS + eE2 - c23 * eS2) * _dx * _dy)
-        + jnp.abs((gS - c23 * eS2 + eW2) * _dx * _dy)
+        jnp.abs((gN + eE2 - c23 * eN2) * _dx_y * _dy_y)
+        + jnp.abs((gN - c23 * eN2 + eW2) * _dx_y * _dy_y)
+        + jnp.abs((gS + eE2 - c23 * eS2) * _dx_y * _dy_y)
+        + jnp.abs((gS - c23 * eS2 + eW2) * _dx_y * _dy_y)
     )
     lmax_y = (Cyx + Cyy) / Dy
     return Dx, Dy, lmax_x, lmax_y
@@ -260,7 +290,24 @@ def solve_dyrel(
     nx, ny = stokes.P.shape
     dtype = stokes.P.dtype
     di = geometry.di
-    inv_dx, inv_dy = 1.0 / di[0], 1.0 / di[1]
+    if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
+        # same spacing families as the APT solvers (reference DYREL kernels
+        # take _di.center/_di.vertex throughout, velocity_kernels.jl:33-58)
+        dcx = jnp.asarray(geometry.di_center[0])[:, None]
+        dcy = jnp.asarray(geometry.di_center[1])[None, :]
+        dvx = jnp.asarray(geometry.di_vertex[0])[:, None]
+        dvy = jnp.asarray(geometry.di_vertex[1])[None, :]
+        inv_dx, inv_dy = 1.0 / dcx, 1.0 / dcy
+        inv_dx_v, inv_dy_v = 1.0 / dvx, 1.0 / dvy
+        mom_dx_x, mom_dy_x = 1.0 / dvx[1:-1], 1.0 / dcy   # x residual families
+        mom_dy_y, mom_dx_y = 1.0 / dvy[:, 1:-1], 1.0 / dcx
+        gersh_spacings = (dcx, dcy, dvx, dvy)
+    else:
+        inv_dx, inv_dy = 1.0 / di[0], 1.0 / di[1]
+        inv_dx_v, inv_dy_v = inv_dx, inv_dy
+        mom_dx_x, mom_dy_x = inv_dx, inv_dy
+        mom_dy_y, mom_dx_y = inv_dy, inv_dx
+        gersh_spacings = None
     v_dofs = ((nx - 2) * (ny - 1), (nx - 1) * (ny - 2))
     p_dof = nx * ny
 
@@ -280,7 +327,8 @@ def solve_dyrel(
         material, pr_center, eta, gfact, dt
     )
     Dx, Dy, lmax_x, lmax_y = gershgorin_schur_2d(
-        eta, eta_v, gamma_eff, pr_center, pr_vertex, material, di, dt
+        eta, eta_v, gamma_eff, pr_center, pr_vertex, material, di, dt,
+        spacings=gersh_spacings,
     )
 
     EII_v = _clamped_av(EII)
@@ -292,7 +340,8 @@ def solve_dyrel(
         third = div / 3.0
         exx, eyy = exx - third, eyy - third
         exy = 0.5 * (
-            (Vx[:, 1:] - Vx[:, :-1]) * inv_dy + (Vy[1:, :] - Vy[:-1, :]) * inv_dx
+            (Vx[:, 1:] - Vx[:, :-1]) * inv_dy_v
+            + (Vy[1:, :] - Vy[:-1, :]) * inv_dx_v
         )
         RP = -div - (P - P0) / etab + Q / dt
         return exx, eyy, exy, RP
@@ -328,17 +377,17 @@ def solve_dyrel(
     def momentum_residual(P, theta_c, tau_c, tau_v):
         txx, tyy, _ = tau_c
         txy = tau_v[2]
-        Ptot_x = (P[1:, :] - P[:-1, :] + theta_c[1:, :] - theta_c[:-1, :]) * inv_dx
+        Ptot_x = (P[1:, :] - P[:-1, :] + theta_c[1:, :] - theta_c[:-1, :]) * mom_dx_x
         Rx = (
-            (txx[1:, :] - txx[:-1, :]) * inv_dx
-            + (txy[1:-1, 1:] - txy[1:-1, :-1]) * inv_dy
+            (txx[1:, :] - txx[:-1, :]) * mom_dx_x
+            + (txy[1:-1, 1:] - txy[1:-1, :-1]) * mom_dy_x
             - Ptot_x
             - 0.5 * (rho_gx[1:, :] + rho_gx[:-1, :])
         )
-        Ptot_y = (P[:, 1:] - P[:, :-1] + theta_c[:, 1:] - theta_c[:, :-1]) * inv_dy
+        Ptot_y = (P[:, 1:] - P[:, :-1] + theta_c[:, 1:] - theta_c[:, :-1]) * mom_dy_y
         Ry = (
-            (tyy[:, 1:] - tyy[:, :-1]) * inv_dy
-            + (txy[1:, 1:-1] - txy[:-1, 1:-1]) * inv_dx
+            (tyy[:, 1:] - tyy[:, :-1]) * mom_dy_y
+            + (txy[1:, 1:-1] - txy[:-1, 1:-1]) * mom_dx_y
             - Ptot_y
             - 0.5 * (rho_gy[:, 1:] + rho_gy[:, :-1])
         )
@@ -467,9 +516,10 @@ def solve_dyrel(
         errPt = _norm(RP) / math.sqrt(p_dof)
         # reference: err0 captured at itPH==1 (errPt0 re-captured at itPH==2),
         # err = max over min(err/err0, err) — relative OR absolute
-        errV0x = jnp.where(o.itPH == 0, errVx + 1e-300, o.errV0x)
-        errV0y = jnp.where(o.itPH == 0, errVy + 1e-300, o.errV0y)
-        errPt0 = jnp.where(o.itPH <= 1, errPt + 1e-300, o.errPt0)
+        tiny = jnp.finfo(dtype).tiny  # f32-safe (1e-300 underflows there)
+        errV0x = jnp.where(o.itPH == 0, errVx + tiny, o.errV0x)
+        errV0y = jnp.where(o.itPH == 0, errVy + tiny, o.errV0y)
+        errPt0 = jnp.where(o.itPH <= 1, errPt + tiny, o.errPt0)
         err = jnp.maximum(
             jnp.maximum(
                 jnp.minimum(errVx / errV0x, errVx),
