@@ -71,7 +71,8 @@ def phase_viscosity(
     V = _bcast(m.disl_V, invII)
     has_disl = A > 0
     A_safe = jnp.where(has_disl, A, 1.0)
-    inv_safe = jnp.maximum(invII[..., None], 1e-300)
+    tiny = jnp.finfo(invII.dtype).tiny  # f32-safe floor
+    inv_safe = jnp.maximum(invII[..., None], tiny)
     PV = 0.0 if P is None else P[..., None] * V
     if T is None:
         iRT = None
@@ -130,7 +131,7 @@ def phase_viscosity(
         # direct: η = τ / (2 ε̇(τ))
         x = jnp.clip(inv_safe / tauP, 0.0, 1.0 - 1e-12)
         rate = Ap_safe * inv_safe**np_ * jnp.exp(-S * (1.0 - x**op) ** qp)
-        eta_pei = inv_safe / (2.0 * jnp.maximum(rate, 1e-300))
+        eta_pei = inv_safe / (2.0 * jnp.maximum(rate, tiny))
     else:
         # invert τ(ε̇) with a fixed Newton loop on ln τ:
         #   f(lnτ) = ln A + n·lnτ − S(1−(τ/τP)^o)^q − ln ε̇
@@ -156,7 +157,7 @@ def phase_viscosity(
         + jnp.where(has_pei, 1.0 / eta_pei, 0.0)
     )
     any_creep = has_disl | has_diff | has_gbs | has_pei
-    eta_p = jnp.where(any_creep, 1.0 / jnp.maximum(inv_eta, 1e-300), eta0)
+    eta_p = jnp.where(any_creep, 1.0 / jnp.maximum(inv_eta, tiny), eta0)
 
     # harmonic phase blend with the reference's dominant-phase early exit
     # (compute_phase_viscosity, Viscosity.jl:600-619: ratio > 0.999 returns
@@ -164,7 +165,7 @@ def phase_viscosity(
     if phase_ratios is None:
         return eta_p[..., 0]
     harm = 1.0 / jnp.maximum(
-        jnp.sum(phase_ratios / jnp.maximum(eta_p, 1e-300), axis=-1), 1e-300
+        jnp.sum(phase_ratios / jnp.maximum(eta_p, tiny), axis=-1), tiny
     )
     idx = jnp.argmax(phase_ratios, axis=-1)
     eta_full = jnp.broadcast_to(eta_p, phase_ratios.shape)
@@ -185,7 +186,7 @@ def correct_phase_ratio(phase_ratios: Array, air_phase: int) -> Array:
     corrected = phase_ratios * mask
     total = jnp.sum(corrected, axis=-1, keepdims=True)
     pure_air = phase_ratios[..., air_phase] > 1.0 - 1.0e-12
-    out = corrected / jnp.maximum(total, 1.0e-300)
+    out = corrected / jnp.maximum(total, jnp.finfo(corrected.dtype).tiny)
     return jnp.where(pure_air[..., None], 0.0, out)
 
 
