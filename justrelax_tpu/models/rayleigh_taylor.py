@@ -162,6 +162,81 @@ def run(nx=32, ny=32, nt=3, nxcell=24, max_xcell=48, min_xcell=12,
     return stokes, particles, phase, info, vmax_hist, t
 
 
+def run_plume_variational(nx=32, ny=32, nt=2, nxcell=24, max_xcell=48,
+                          min_xcell=12, iter_max=50_000, nout=2_000,
+                          dtype=None):
+    """Rising plume on the variational path WITH the masked stabilization
+    term active (PlumeFreeSurface_VariationalStokes.jl:192-210 — the one
+    reference free-surface script that passes ``free_surface=true`` to the
+    variational solver)."""
+    thick_air = 100.0e3
+    lx, ly = 500.0e3, 400.0e3 + thick_air
+    ni = (nx, ny)
+    geometry = Geometry(ni, (lx, ly), origin=(0.0, -ly))
+
+    etas = (1.0e17, 1.0e21, 1.0e20)
+    material = MaterialStack.make([
+        Material(rho0=1.0e1, eta0=etas[0], gravity=9.81, G=jnp.inf, Kb=jnp.inf),
+        Material(rho0=3.3e3, eta0=etas[1], gravity=9.81, G=jnp.inf, Kb=jnp.inf),
+        Material(rho0=3.2e3, eta0=etas[2], gravity=9.81, G=jnp.inf, Kb=jnp.inf),
+    ])
+
+    particles = init_particles(geometry, nxcell, max_xcell, min_xcell)
+    phase = _phase_of_plume(particles.px, particles.py)
+    pr, phi = _ratios_and_phi(particles, phase, geometry)
+
+    stokes = StokesState.make(ni, dtype=dtype)
+    dt_f = stokes.P.dtype
+    eta_tab = jnp.asarray(etas, dt_f)
+    stokes = stokes.replace(
+        viscosity=stokes.viscosity.replace(
+            eta=phase_average(eta_tab, pr.center),
+            eta_v=phase_average(eta_tab, pr.vertex),
+        ),
+        P=_lithostatic_P(material, pr.center, geometry, ni, dt_f),
+    )
+    pt = PTStokesCoeffs.make(
+        geometry.li, geometry.di, Re=3.0 * math.pi, r=1.0,
+        CFL=0.98 / math.sqrt(2.1), eps_abs=1.0e-6, eps_rel=1.0e-5,
+    )
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True),
+        free_surface=True,
+    )
+
+    dt = 1.0e3 * YR
+    # cap the CFL dt: with ~nm/s plume velocities compute_dt reaches ~80 kyr
+    # and the explicit Vy·∂(ϕρg)/∂y·dt stabilization term becomes unstable
+    # (deviation from the reference script, which runs uncapped and has no
+    # convergence asserts; the 10 kyr cap matches its RT/Crameri siblings)
+    dt_max = 10.0e3 * YR
+    info = None
+    vmax_hist = []
+    t = 0.0
+    for _ in range(nt):
+        stokes, info = solve_variational(
+            stokes, pt, geometry, bc, material, pr.center, pr.vertex, phi,
+            dt, iter_max=iter_max, iter_min=1_000, nout=nout,
+            viscosity_relaxation=1.0e-2, air_phase=AIR, free_surface=True,
+            mask_step_floor=0.05,
+        )
+        dt = min(float(compute_dt(stokes.V.components, geometry.di)) * 0.95,
+                 dt_max)
+        particles = advect_rk2(particles, stokes.V.components, geometry, dt)
+        particles, fields = move_particles(particles, geometry, {"phase": phase})
+        phase = fields["phase"]
+        particles, fields = inject_particles(
+            particles, geometry, {}, phases=3,
+            fields={"phase": phase}, phase_field="phase",
+        )
+        phase = fields["phase"]
+        pr, phi = _ratios_and_phi(particles, phase, geometry)
+        t += dt
+        vmax_hist.append(float(jnp.abs(stokes.V.Vy).max()))
+
+    return stokes, particles, phase, info, vmax_hist, t
+
+
 def run_plume(nx=32, ny=32, nt=3, nxcell=24, max_xcell=48, min_xcell=12,
               iter_max=50_000, nout=1_000, dtype=None):
     """Rising plume with free-surface stabilization

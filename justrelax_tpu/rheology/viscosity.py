@@ -177,17 +177,20 @@ def phase_viscosity(
 def correct_phase_ratio(phase_ratios: Array, air_phase: int) -> Array:
     """Zero the air-phase slot and renormalize over the rock phases
     (reference correct_phase_ratio, Viscosity.jl:638-650). Pure-air cells
-    return all-zero ratios — their harmonic-blend viscosity then collapses
-    to the lower cutoff, matching the reference's clamped air viscosity
-    (those cells are masked out of the variational system anyway; the value
-    only leaks through the maxloc ητ preconditioner)."""
+    keep their air-one-hot ratios (deviation from the reference, which
+    returns all-zero ratios there — the zero-ratio harmonic blend is
+    1/0 = ∞, and without a finite viscosity cutoff the maxloc ητ
+    preconditioner spreads that overflow into VALID interface cells and the
+    pressure update explodes; the miniapps run cutoff (-Inf, Inf)). Those
+    cells are masked out of the variational system either way — only the
+    bounded maxloc spillover of the air viscosity survives."""
     nphase = phase_ratios.shape[-1]
     mask = jnp.arange(nphase) != air_phase
     corrected = phase_ratios * mask
     total = jnp.sum(corrected, axis=-1, keepdims=True)
     pure_air = phase_ratios[..., air_phase] > 1.0 - 1.0e-12
     out = corrected / jnp.maximum(total, jnp.finfo(corrected.dtype).tiny)
-    return jnp.where(pure_air[..., None], 0.0, out)
+    return jnp.where(pure_air[..., None], phase_ratios, out)
 
 
 def compute_viscosity_fields(

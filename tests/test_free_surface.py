@@ -64,3 +64,23 @@ def test_plume_free_surface_stabilized():
     iy = np.unravel_index(np.argmax(Vy), Vy.shape)[1]
     ny = Vy.shape[1] - 1
     assert iy > ny // 4
+
+
+@pytest.mark.slow
+def test_plume_variational_stabilized():
+    """Variational plume with the masked stabilization term active
+    (PlumeFreeSurface_VariationalStokes.jl:192-210 — the reference's one
+    free-surface script that passes free_surface=true to the variational
+    solver). Goldens frozen from the round-2 CPU/x64 run."""
+    from justrelax_tpu.models.rayleigh_taylor import run_plume_variational
+
+    stokes, particles, phase, info, vmax, t = run_plume_variational(
+        nx=32, ny=32, nt=2)
+
+    assert np.isfinite(float(info.err))
+    assert float(info.err) < 1.0e-4
+    Vy = np.asarray(stokes.V.Vy)
+    assert np.isfinite(Vy).all()
+    # true free surface (air masked): plume-rise velocity scale
+    np.testing.assert_allclose(vmax[0], 4.9869242014546195e-09, rtol=1e-5)
+    np.testing.assert_allclose(vmax[1], 2.8594736096290873e-09, rtol=1e-4)
