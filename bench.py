@@ -123,7 +123,7 @@ def run_goldens(level="default"):
 
 def main():
     families = os.environ.get(
-        "BENCH_FAMILIES", "ve2d,vep2d,thermal2d,ve3d,pallas_ve2d,pallas_vep2d"
+        "BENCH_FAMILIES", "ve2d,vep2d,thermal2d,ve3d,pallas_ve2d,pallas_vep2d,pallas_thermal2d"
     )
     families = [f for f in families.split(",") if f]
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))

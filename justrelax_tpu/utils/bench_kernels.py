@@ -492,6 +492,54 @@ def pallas_vep2d(n=382, dtype=jnp.float32):
     return step, carry, consts, 39 * n_cells * 4, n_cells
 
 
+def pallas_thermal2d(n=766, dtype=jnp.float32):
+    """VMEM-resident Pallas chunk of the PT diffusion iteration
+    (ops/pallas_thermal.py): flux relaxation + damped T update + ghost BCs
+    in coefficient form, HBM touched once per chunk. Same 16·N·4 B traffic
+    convention as thermal2d; measured 96.8 GUPS at 766² on v5e vs the XLA
+    path's 36.6 — 2.7× per cell."""
+    from justrelax_tpu.core.coeffs import PTThermalCoeffs
+    from justrelax_tpu.ops.bc import (
+        Faces, TemperatureBoundaryConditions, thermal_bcs)
+    from justrelax_tpu.ops.pallas_thermal import thermal_chunk_vmem
+
+    ni = (n, n)
+    li = (100.0e3, 100.0e3)
+    di = (li[0] / n, li[1] / n)
+    inv_d = 1.0 / di[0]
+    K = jnp.full(ni, 3.0, dtype)
+    rho_Cp = jnp.full(ni, 3.3e6, dtype)
+    dt = 1.5e11
+    coeffs = PTThermalCoeffs.make(K, rho_Cp, dt, di, li)
+    rng = np.random.default_rng(0)
+    bcs = TemperatureBoundaryConditions(
+        no_flux=Faces(left=True, right=True),
+        constant_value=Faces(top=1500.0, bot=1600.0),
+    )
+    T = thermal_bcs(
+        jnp.asarray(1500.0 + 10.0 * rng.normal(size=(n + 2, n + 2)), dtype),
+        bcs,
+    )
+    H = jnp.zeros(ni, dtype)
+    qx = jnp.zeros((n + 1, n), dtype)
+    qy = jnp.zeros((n, n + 1), dtype)
+    dtau_rho = coeffs.dtau_rho.astype(dtype)
+    theta_r_dtau = coeffs.theta_r_dtau.astype(dtype)
+
+    def step(n_iter, carry, consts):
+        T0, qx0, qy0 = carry
+        Told, K, rho_Cp, H = consts
+        return thermal_chunk_vmem(
+            T0, qx0, qy0, Told, K, rho_Cp, H, dtau_rho, theta_r_dtau,
+            1.0 / dt, inv_d, inv_d, bcs, nout=n_iter,
+        )
+
+    carry = (T, qx, qy)
+    consts = (T, K, rho_Cp, H)
+    n_cells = n * n
+    return step, carry, consts, 16 * n_cells * 4, n_cells
+
+
 FAMILIES = {
     "ve2d": ve2d,
     "vep2d": vep2d,
@@ -499,6 +547,7 @@ FAMILIES = {
     "ve3d": ve3d,
     "pallas_ve2d": pallas_ve2d,
     "pallas_vep2d": pallas_vep2d,
+    "pallas_thermal2d": pallas_thermal2d,
 }
 
 
