@@ -305,8 +305,21 @@ def solve_vep_3d(
         not_conv = ((c.err / c.err1) > eps_rel) & (c.err > eps_abs)
         return (c.chunk < min_chunks) | (not_conv & (c.chunk < max_chunks))
 
+    _CORE = ("V", "P", "theta", "tau_c", "tau_e", "eta", "lam", "lam_e")
+
+    def one_iteration_core(i, t):
+        # reduced fori carry — diagnostics are write-only per iteration
+        # (see solvers/stokes2d_vep.py; measured 1.48x there)
+        c = _core_template._replace(**dict(zip(_CORE, t)))
+        c2 = one_iteration(i, c)
+        return tuple(getattr(c2, k) for k in _CORE)
+
     def body(c: C):
-        c = lax.fori_loop(0, nout_i, one_iteration, c)
+        t = lax.fori_loop(
+            0, nout_i - 1, one_iteration_core,
+            tuple(getattr(c, k) for k in _CORE),
+        )
+        c = one_iteration(0, c._replace(**dict(zip(_CORE, t))))
         nRx, nRy, nRz, nRP, _, _, _ = residual_norms(c)
         err = jnp.max(jnp.stack([nRx, nRy, nRz, nRP]))
         err1 = jnp.where(c.chunk == 0, err, c.err1)
@@ -335,6 +348,7 @@ def solve_vep_3d(
         chunk=jnp.asarray(0, jnp.int32),
         hist=jnp.full((max_chunks, 4), jnp.nan, dtype),
     )
+    _core_template = init
     c = lax.while_loop(cond, body, init)
 
     # --- post-loop diagnostics & state assembly ----------------------------
