@@ -125,7 +125,17 @@ def _solve_loop(
             # last iteration on the XLA path refreshes q2 for the residual
             T, q, q2 = one_iteration(0, (T, (qx, qy), c.q2))
         else:
-            T, q, q2 = lax.fori_loop(0, nout, one_iteration, (c.T, c.q, c.q2))
+            def one_iteration_core(i, tq):
+                # q2 (the un-relaxed physical flux) is only read by the
+                # chunk-end residual; keep it out of the fori carry (XLA
+                # then also elides its computation in-loop) and produce it
+                # with one full final iteration — same pattern as
+                # solvers/stokes2d_vep.py (1.48x there)
+                T2, q2_, _ = one_iteration(i, (tq[0], tq[1], c.q2))
+                return (T2, q2_)
+
+            T, q = lax.fori_loop(0, nout - 1, one_iteration_core, (c.T, c.q))
+            T, q, q2 = one_iteration(0, (T, q, c.q2))
         res = kernels.check_res(
             T, Told, q2, H, shear_heating, inv_dt, inv_div_di, **cell_kwargs
         )
