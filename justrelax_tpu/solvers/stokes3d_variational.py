@@ -199,8 +199,20 @@ def solve_variational_3d(
         not_conv = ((c.err / c.err1) > eps_rel) & (c.err > eps_abs)
         return (c.chunk < 1) | (not_conv & (c.chunk < max_chunks))
 
+    _CORE = ("V", "P", "tau")
+
+    def one_iteration_core(i, t):
+        # residuals out of the fori carry (see solvers/stokes2d_vep.py)
+        c = _core_template._replace(**dict(zip(_CORE, t)))
+        c2 = one_iteration(i, c)
+        return tuple(getattr(c2, k) for k in _CORE)
+
     def body(c: C):
-        c = lax.fori_loop(0, nout_i, one_iteration, c)
+        t = lax.fori_loop(
+            0, nout_i - 1, one_iteration_core,
+            tuple(getattr(c, k) for k in _CORE),
+        )
+        c = one_iteration(0, c._replace(**dict(zip(_CORE, t))))
         nRx, nRy, nRz, nRP = norms(c)
         err = jnp.max(jnp.stack([nRx, nRy, nRz, nRP]))
         err1 = jnp.where(c.chunk == 0, err, c.err1)
@@ -223,6 +235,7 @@ def solve_variational_3d(
         chunk=jnp.asarray(0, jnp.int32),
         hist=jnp.full((max_chunks, 4), jnp.nan, dtype),
     )
+    _core_template = init
     c = lax.while_loop(cond, body, init)
 
     txx, tyy, tzz, tyz, txz, txy = c.tau
