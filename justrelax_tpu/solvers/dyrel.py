@@ -410,8 +410,6 @@ def solve_dyrel(
         errV00y: Array
         it: Array
         itg: Array
-        state_c: Tuple  # last center stress outputs
-        state_v: Tuple
         eta: Array
         eta_v: Array
         Dx_f: Array
@@ -448,7 +446,7 @@ def solve_dyrel(
         Vx, Vy = flow_bcs((Vx, Vy), flow_bc)
         return c._replace(
             Vx=Vx, Vy=Vy, lam=out_c[7], lam_v=out_v[7], dVx=dVx, dVy=dVy,
-            Rx=Rx, Ry=Ry, state_c=out_c, state_v=out_v,
+            Rx=Rx, Ry=Ry,
             eta=eta_n, eta_v=eta_vn,
         )
 
@@ -543,8 +541,6 @@ def solve_dyrel(
 
     z_c = jnp.zeros((nx, ny), dtype)
     z_v = jnp.zeros((nx + 1, ny + 1), dtype)
-    zero_out_c = (z_c,) * 11
-    zero_out_v = (z_v,) * 11
     inner0 = Inner(
         Vx=stokes.V.Vx, Vy=stokes.V.Vy,
         lam=jnp.zeros_like(z_c), lam_v=jnp.zeros_like(z_v),
@@ -555,7 +551,6 @@ def solve_dyrel(
         err=jnp.asarray(jnp.inf, dtype),
         errV00x=jnp.asarray(1.0, dtype), errV00y=jnp.asarray(1.0, dtype),
         it=jnp.asarray(0, jnp.int32), itg=jnp.asarray(0, jnp.int32),
-        state_c=zero_out_c, state_v=zero_out_v,
         eta=eta, eta_v=eta_v, Dx_f=Dx, Dy_f=Dy, lmx=lmax_x, lmy=lmax_y,
     )
     o = Outer(
