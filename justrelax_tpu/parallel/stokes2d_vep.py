@@ -272,7 +272,20 @@ def solve_vep_sharded(
             return (c.chunk < min_chunks) | (not_conv & (c.chunk < max_chunks))
 
         def body(c: C):
-            c = lax.fori_loop(0, nout_i, one_iteration, c)
+            _CORE = ("Vx", "Vy", "P", "theta", "txx", "tyy", "txy_c", "txy_v", "eta", "eta_v", "lam", "lam_v")
+
+            def one_iteration_core(i, t):
+                # diagnostics out of the fori carry (see
+                # solvers/stokes2d_vep.py — measured 1.48x there)
+                cc = _core_template._replace(**dict(zip(_CORE, t)))
+                c2 = one_iteration(i, cc)
+                return tuple(getattr(c2, k) for k in _CORE)
+
+            t = lax.fori_loop(
+                0, nout_i - 1, one_iteration_core,
+                tuple(getattr(c, k) for k in _CORE),
+            )
+            c = one_iteration(0, c._replace(**dict(zip(_CORE, t))))
             nRx, nRy, nRP = residual_norms(c)
             err = jnp.maximum(jnp.maximum(nRx, nRy), nRP)
             err1 = jnp.where(c.chunk == 0, err, c.err1)
@@ -290,6 +303,7 @@ def solve_vep_sharded(
             err1=jnp.asarray(1.0, dtype),
             chunk=jnp.asarray(0, jnp.int32),
         )
+        _core_template = init
         c = lax.while_loop(cond, body, init)
         return ShardedVEPResult2D(
             Vx=c.Vx, Vy=c.Vy, P=c.P,

@@ -403,7 +403,21 @@ def solve_vep_sharded_3d(
             return (c.chunk < min_chunks) | (not_conv & (c.chunk < max_chunks))
 
         def body(c: C):
-            c = lax.fori_loop(0, nout_i, one_iteration, c)
+            _CORE = ("V", "P", "theta", "tau_c", "tau_e", "eta", "lam",
+                     "lam_e")
+
+            def one_iteration_core(i, t):
+                # diagnostics out of the fori carry (see
+                # solvers/stokes2d_vep.py — measured 1.48x there)
+                cc = _core_template._replace(**dict(zip(_CORE, t)))
+                c2 = one_iteration(i, cc)
+                return tuple(getattr(c2, k) for k in _CORE)
+
+            t = lax.fori_loop(
+                0, nout_i - 1, one_iteration_core,
+                tuple(getattr(c, k) for k in _CORE),
+            )
+            c = one_iteration(0, c._replace(**dict(zip(_CORE, t))))
             nRx, nRy, nRz, nRP = residual_norms(c)
             err = jnp.max(jnp.stack([nRx, nRy, nRz, nRP]))
             err1 = jnp.where(c.chunk == 0, err, c.err1)
@@ -420,6 +434,7 @@ def solve_vep_sharded_3d(
             err1=jnp.asarray(1.0, dtype),
             chunk=jnp.asarray(0, jnp.int32),
         )
+        _core_template = init
         c = lax.while_loop(cond, body, init)
         Vx, Vy, Vz = c.V
         return ShardedVEPResult3D(
