@@ -117,14 +117,32 @@ def compute_tau_visc(txx, tyy, txy, exx, eyy, exy, eta, theta_dtau):
     )
 
 
-def compute_tau_ve(txx, tyy, txy, txx_o, tyy_o, txy_o, exx, eyy, exy, eta, G, theta_dtau, dt):
+def compute_tau_ve(txx, tyy, txy, txx_o, tyy_o, txy_o, exx, eyy, exy, eta, G,
+                   theta_dtau, dt, eta_v=None, G_v=None):
     """Visco-elastic PT stress update: normal components at centers, shear at
-    interior vertices (StressKernels.jl:65-95). Boundary vertices of τxy are
-    left untouched (free-slip keeps them zero)."""
+    vertices (StressKernels.jl:65-95).
+
+    Serial form (``eta_v``/``G_v`` omitted): shear is updated on interior
+    vertices only; boundary vertices of τxy are left untouched (free-slip
+    keeps them zero).
+
+    Distributed compute-in-halo form: pass vertex-located ``eta_v``/``G_v``
+    covering *all* local vertices (built from ghost-extended center fields,
+    see parallel/stokes2d.py) — every vertex of ``txy`` is then updated and
+    the caller is responsible for freezing physical-boundary rows
+    (``_freeze_rows``), which reproduces the serial untouched-boundary
+    semantics exactly.
+    """
     _Gdt = 1.0 / (G * dt)
     dtau_r = _dtau_r(theta_dtau, eta, _Gdt)
     txx = txx + _stress_increment(txx, txx_o, eta, exx, _Gdt, dtau_r)
     tyy = tyy + _stress_increment(tyy, tyy_o, eta, eyy, _Gdt, dtau_r)
+
+    if eta_v is not None:
+        _Gdt_v = 1.0 / (G_v * dt)
+        dtau_r_v = _dtau_r(theta_dtau, eta_v, _Gdt_v)
+        txy = txy + _stress_increment(txy, txy_o, eta_v, exy, _Gdt_v, dtau_r_v)
+        return txx, tyy, txy
 
     eta_v = av_a(eta)  # interior vertices (nx-1, ny-1)
     _Gdt_v = 1.0 / (av_a(G) * dt)
@@ -141,26 +159,36 @@ def compute_tau_ve(txx, tyy, txy, txx_o, tyy_o, txy_o, exx, eyy, exy, eta, G, th
 
 # --- velocity update --------------------------------------------------------
 def _x_momentum(P, txx, txy, rho_gx, inv_dx, inv_dy, inv_dx_v=None, inv_dy_c=None):
-    """∂x momentum balance on interior Vx nodes → shape (nx-1, ny).
+    """∂x momentum balance on x-FACES.
 
-    τxx/P differences land on interior x-FACES (vertex family ``inv_dx_v``);
-    τxy differences land there too but run along y between VERTICES (center
+    Serial form: ``P``/``txx``/``rho_gx`` are the (nx, ny) center arrays and
+    ``txy`` the full (nx+1, ny+1) vertex array → interior faces (nx-1, ny).
+    Distributed compute-in-halo form (parallel/stokes2d.py): the center
+    arrays arrive ghost-extended along x (nxl+2, nyl) while ``txy`` is the
+    (nxl+1, nyl+1) local vertex block → ALL local faces (nxl+1, nyl); the
+    face-row alignment of ``txy`` is detected from the shapes.
+
+    τxx/P differences land on x-faces (vertex family ``inv_dx_v``); τxy
+    differences land there too but run along y between VERTICES (center
     family ``inv_dy_c``)."""
     inv_dx_v = inv_dx if inv_dx_v is None else inv_dx_v
     inv_dy_c = inv_dy if inv_dy_c is None else inv_dy_c
+    txy_f = txy if txy.shape[0] == P.shape[0] - 1 else txy[1:-1, :]
     d_xa_t = (txx[1:, :] - txx[:-1, :]) * inv_dx_v
-    d_yi_t = (txy[1:-1, 1:] - txy[1:-1, :-1]) * inv_dy_c
+    d_yi_t = (txy_f[:, 1:] - txy_f[:, :-1]) * inv_dy_c
     d_xa_P = (P[1:, :] - P[:-1, :]) * inv_dx_v
     f = 0.5 * (rho_gx[1:, :] + rho_gx[:-1, :])
     return d_xa_t + d_yi_t - d_xa_P - f
 
 
 def _y_momentum(P, tyy, txy, rho_gy, inv_dx, inv_dy, inv_dy_v=None, inv_dx_c=None):
-    """∂y momentum balance on interior Vy nodes → shape (nx, ny-1)."""
+    """∂y momentum balance on y-FACES: interior (nx, ny-1) serial, ALL local
+    faces in the distributed ghost-extended form (see ``_x_momentum``)."""
     inv_dy_v = inv_dy if inv_dy_v is None else inv_dy_v
     inv_dx_c = inv_dx if inv_dx_c is None else inv_dx_c
+    txy_f = txy if txy.shape[1] == P.shape[1] - 1 else txy[:, 1:-1]
     d_ya_t = (tyy[:, 1:] - tyy[:, :-1]) * inv_dy_v
-    d_xi_t = (txy[1:, 1:-1] - txy[:-1, 1:-1]) * inv_dx_c
+    d_xi_t = (txy_f[1:, :] - txy_f[:-1, :]) * inv_dx_c
     d_ya_P = (P[:, 1:] - P[:, :-1]) * inv_dy_v
     f = 0.5 * (rho_gy[:, 1:] + rho_gy[:, :-1])
     return d_ya_t + d_xi_t - d_ya_P - f

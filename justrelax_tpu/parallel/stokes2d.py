@@ -32,6 +32,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from justrelax_tpu.core.coeffs import PTStokesCoeffs
+from justrelax_tpu.ops import stokes as kernels
 from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions
 from justrelax_tpu.ops.stencil import av_a, interior_add, interior_set, maxloc
 from justrelax_tpu.parallel import halo
@@ -78,6 +79,24 @@ def _flow_bcs_local(Vx, Vy, bc: VelocityBoundaryConditions, fx, lx_, fy, ly_):
     if Faces.on(fs.right):
         Vy = Vy.at[-1, :].set(jnp.where(lx_, Vy[-2, :], Vy[-1, :]))
     return Vx, Vy
+
+
+def momentum_all_faces(Pr, txx, tyy, txy_v, rho_gx_ex, rho_gy_ey, inv_dx, inv_dy):
+    """Momentum residuals on ALL local faces (compute-in-halo form).
+
+    Ghost-extends the center fields that the face stencils straddle and
+    evaluates the SAME ``ops/stokes.py`` momentum kernels as the serial
+    solver — their shape-driven τxy alignment selects the all-faces form.
+    ``rho_gx_ex``/``rho_gy_ey`` arrive pre-extended (loop-invariant in the VE
+    solve; recomputed per iteration by the VEP solver).
+    """
+    P_ex = halo.extend(Pr, 0, 1)
+    txx_ex = halo.extend(txx, 0, 1)
+    Rx = kernels._x_momentum(P_ex, txx_ex, txy_v, rho_gx_ex, inv_dx, inv_dy)
+    P_ey = halo.extend(Pr, 1, 1)
+    tyy_ey = halo.extend(tyy, 1, 1)
+    Ry = kernels._y_momentum(P_ey, tyy_ey, txy_v, rho_gy_ey, inv_dx, inv_dy)
+    return Rx, Ry
 
 
 def _freeze_rows(A, new, axis, lo_mask, hi_mask):
@@ -150,10 +169,6 @@ def solve_ve_sharded(
         rho_gy_ey = halo.extend(rho_gy, 1, 1)  # (nxl, nyl+2)
         etat_x = eta_tau_full[:, 1:-1]  # (nxl+2, nyl)
         etat_y = eta_tau_full[1:-1, :]  # (nxl, nyl+2)
-        _Gdt_c = 1.0 / (G * dt)
-        dtau_r_c = 1.0 / (theta + eta * _Gdt_c + 1.0)
-        _Gdt_v = 1.0 / (G_v * dt)
-        dtau_r_v = 1.0 / (theta + eta_v * _Gdt_v + 1.0)
 
         def eff_ghosts(Vx, Vy, gxl, gxh, gyl, gyh):
             """Assemble the ghost-refreshed V arrays from split carries.
@@ -189,51 +204,31 @@ def solve_ve_sharded(
             else:
                 Vx, Vy, Pr, txx, tyy, txy = c
                 Vx_f, Vy_f = Vx, Vy
-            # divergence + pressure (local)
-            grad_V = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx + (
-                Vy[1:-1, 1:] - Vy[1:-1, :-1]
-            ) * inv_dy
-            _Kdt = 1.0 / (K * dt)
-            rhs = -grad_V + Q / dt
-            psi = 1.0 / (1.0 / eta_tau + 1.0 / (G * dt)) * (r / theta)
-            Pr = ((P0 * _Kdt + rhs) * psi + Pr) / (1.0 + _Kdt * psi)
-
-            # strain rate (local; εxy on every local vertex)
-            third = 1.0 / 3.0
-            exx = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx - grad_V * third
-            eyy = (Vy[1:-1, 1:] - Vy[1:-1, :-1]) * inv_dy - grad_V * third
-            exy = 0.5 * (
-                (Vx_f[:, 1:] - Vx_f[:, :-1]) * inv_dy
-                + (Vy_f[1:, :] - Vy_f[:-1, :]) * inv_dx
+            # divergence + pressure + strain rate: the serial kernels verbatim
+            # (Vx_f/Vy_f differ from Vx/Vy only in ghost rows, which the
+            # center stencils never read; εxy lands on every local vertex)
+            grad_V = kernels.compute_grad_V(Vx, Vy, inv_dx, inv_dy)
+            _, Pr = kernels.compute_P(
+                Pr, P0, grad_V, Q, eta_tau, K, G, dt, r, theta
+            )
+            exx, eyy, exy = kernels.compute_strain_rate(
+                grad_V, Vx_f, Vy_f, inv_dx, inv_dy
             )
 
-            # stress update: centers local, vertices everywhere then freeze
-            # physical-boundary vertices (serial kernel never writes them)
-            txx = txx + dtau_r_c * (2.0 * eta * exx - (txx - txx_o) * eta * _Gdt_c - txx)
-            tyy = tyy + dtau_r_c * (2.0 * eta * eyy - (tyy - tyy_o) * eta * _Gdt_c - tyy)
-            txy_new = txy + dtau_r_v * (
-                2.0 * eta_v * exy - (txy - txy_o) * eta_v * _Gdt_v - txy
+            # stress update: centers local; the ghost-built eta_v/G_v select
+            # the all-vertices form, then physical-boundary vertices are
+            # frozen (the serial kernel never writes them)
+            txx, tyy, txy_new = kernels.compute_tau_ve(
+                txx, tyy, txy, txx_o, tyy_o, txy_o, exx, eyy, exy,
+                eta, G, theta, dt, eta_v=eta_v, G_v=G_v,
             )
             txy_new = _freeze_rows(txy, txy_new, 0, fx, lx_)
             txy_new = _freeze_rows(txy, txy_new, 1, fy, ly_)
             txy = txy_new
 
             # velocity update on ALL local faces from ghost-extended inputs
-            P_ex = halo.extend(Pr, 0, 1)
-            txx_ex = halo.extend(txx, 0, 1)
-            rx_mom = (
-                (txx_ex[1:, :] - txx_ex[:-1, :]) * inv_dx
-                + (txy[:, 1:] - txy[:, :-1]) * inv_dy
-                - (P_ex[1:, :] - P_ex[:-1, :]) * inv_dx
-                - 0.5 * (rho_gx_ex[1:, :] + rho_gx_ex[:-1, :])
-            )
-            P_ey = halo.extend(Pr, 1, 1)
-            tyy_ey = halo.extend(tyy, 1, 1)
-            ry_mom = (
-                (tyy_ey[:, 1:] - tyy_ey[:, :-1]) * inv_dy
-                + (txy[1:, :] - txy[:-1, :]) * inv_dx
-                - (P_ey[:, 1:] - P_ey[:, :-1]) * inv_dy
-                - 0.5 * (rho_gy_ey[:, 1:] + rho_gy_ey[:, :-1])
+            rx_mom, ry_mom = momentum_all_faces(
+                Pr, txx, tyy, txy, rho_gx_ex, rho_gy_ey, inv_dx, inv_dy
             )
             etax = 0.5 * (etat_x[1:, :] + etat_x[:-1, :])
             etay = 0.5 * (etat_y[:, 1:] + etat_y[:, :-1])
@@ -259,26 +254,12 @@ def solve_ve_sharded(
             return (Vx, Vy, Pr, txx, tyy, txy)
 
         def residual_norms(Vx, Vy, Pr, txx, tyy, txy):
-            grad_V = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx + (
-                Vy[1:-1, 1:] - Vy[1:-1, :-1]
-            ) * inv_dy
-            _Kdt = 1.0 / (K * dt)
-            RP = -(Pr - P0) * _Kdt + (-grad_V + Q / dt)
-            P_ex = halo.extend(Pr, 0, 1)
-            txx_ex = halo.extend(txx, 0, 1)
-            Rx = (
-                (txx_ex[1:, :] - txx_ex[:-1, :]) * inv_dx
-                + (txy[:, 1:] - txy[:, :-1]) * inv_dy
-                - (P_ex[1:, :] - P_ex[:-1, :]) * inv_dx
-                - 0.5 * (rho_gx_ex[1:, :] + rho_gx_ex[:-1, :])
+            grad_V = kernels.compute_grad_V(Vx, Vy, inv_dx, inv_dy)
+            RP, _ = kernels.compute_P(
+                Pr, P0, grad_V, Q, eta_tau, K, G, dt, r, theta
             )
-            P_ey = halo.extend(Pr, 1, 1)
-            tyy_ey = halo.extend(tyy, 1, 1)
-            Ry = (
-                (tyy_ey[:, 1:] - tyy_ey[:, :-1]) * inv_dy
-                + (txy[1:, :] - txy[:-1, :]) * inv_dx
-                - (P_ey[:, 1:] - P_ey[:, :-1]) * inv_dy
-                - 0.5 * (rho_gy_ey[:, 1:] + rho_gy_ey[:, :-1])
+            Rx, Ry = momentum_all_faces(
+                Pr, txx, tyy, txy, rho_gx_ex, rho_gy_ey, inv_dx, inv_dy
             )
             # ownership + reference norm-window masks (Rx[1:-1,1:-1] global)
             gfx = rx * nxl + jnp.arange(nxl + 1)  # global face idx of Rx rows

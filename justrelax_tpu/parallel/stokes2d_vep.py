@@ -34,7 +34,11 @@ from justrelax_tpu.ops.stencil import av_a, interior_add, interior_set, maxloc
 from justrelax_tpu.ops.stokes_vep import update_stresses_center_vertex
 from justrelax_tpu.parallel import halo
 from justrelax_tpu.parallel.decomp import Decomp2D
-from justrelax_tpu.parallel.stokes2d import _flow_bcs_local, _freeze_rows
+from justrelax_tpu.parallel.stokes2d import (
+    _flow_bcs_local,
+    _freeze_rows,
+    momentum_all_faces,
+)
 from justrelax_tpu.rheology.materials import (
     _as_stack,
     compute_density,
@@ -149,23 +153,14 @@ def solve_vep_sharded(
             return etat_full[1:-1, 1:-1], etat_full[:, 1:-1], etat_full[1:-1, :]
 
         def momentum(Pc, txx, tyy, txy_v, rho_gx, rho_gy):
-            P_ex, txx_ex = halo.extend(Pc, 0, 1), halo.extend(txx, 0, 1)
-            gx_ex = halo.extend(rho_gx, 0, 1)
-            Rx = (
-                (txx_ex[1:, :] - txx_ex[:-1, :]) * inv_dx
-                + (txy_v[:, 1:] - txy_v[:, :-1]) * inv_dy
-                - (P_ex[1:, :] - P_ex[:-1, :]) * inv_dx
-                - 0.5 * (gx_ex[1:, :] + gx_ex[:-1, :])
+            # shared all-faces momentum kernels (parallel/stokes2d.py →
+            # ops/stokes.py); ρg is buoyancy-coupled here so it is extended
+            # per call rather than hoisted
+            return momentum_all_faces(
+                Pc, txx, tyy, txy_v,
+                halo.extend(rho_gx, 0, 1), halo.extend(rho_gy, 1, 1),
+                inv_dx, inv_dy,
             )
-            P_ey, tyy_ey = halo.extend(Pc, 1, 1), halo.extend(tyy, 1, 1)
-            gy_ey = halo.extend(rho_gy, 1, 1)
-            Ry = (
-                (tyy_ey[:, 1:] - tyy_ey[:, :-1]) * inv_dy
-                + (txy_v[1:, :] - txy_v[:-1, :]) * inv_dx
-                - (P_ey[:, 1:] - P_ey[:, :-1]) * inv_dy
-                - 0.5 * (gy_ey[:, 1:] + gy_ey[:, :-1])
-            )
-            return Rx, Ry
 
         class C(NamedTuple):
             Vx: Array
