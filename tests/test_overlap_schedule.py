@@ -4,9 +4,10 @@ src/stokes/Stokes2D.jl:768-785).
 Two artifacts back the claim that the sharded solver's halo exchange hides
 behind interior compute:
 
-1. **Bit-identity**: the ``overlap=True`` split-ghost-carry formulation equals
-   the eager ``overlap=False`` path exactly on the 8-device CPU mesh (the
-   ghosts' *values* are the same; only the dataflow differs).
+1. **Value-identity**: the ``overlap=True`` split-ghost-carry formulation
+   equals the eager ``overlap=False`` path bitwise after one iteration (the
+   carried ghosts hold exactly the exchanged values; only the dataflow
+   differs) and to accumulated roundoff over a full solve.
 
 2. **Schedule inspection on the real TPU compiler**: AOT-compiling the
    sharded solve for an 8-chip v5e:2x4 topology (no chips needed —
@@ -85,20 +86,38 @@ def _problem(nx, ny, dtype=np.float64, concrete=True):
 
 @pytest.mark.slow
 def test_overlap_path_bit_identical():
-    """Split-ghost-carry (overlap=True) == eager exchange (overlap=False)."""
+    """Split-ghost-carry (overlap=True) == eager exchange (overlap=False).
+
+    The semantic claim — the carried ghost slices hold exactly the values an
+    eager exchange would install — is asserted BITWISE after one iteration
+    (every field, including the ghost/duplicate layers of the gathered
+    blocks). Over many iterations the two formulations are different HLO
+    programs, and XLA CPU's fusion-dependent FMA contraction legally differs
+    between them (measured: 1-ulp spread appearing from iteration 2), so
+    long-run equivalence is asserted at accumulated-roundoff tolerance
+    (~1e-15 vs the ~1e-4 solution scale) rather than bitwise.
+    """
     mesh = make_grid_mesh((2, 4))
     pt, bc, decomp, blocks = _problem(32, 32)
-    r1 = ps.solve_ve_sharded(
-        mesh, decomp, dict(blocks), pt, bc, 0.1,
-        iter_max=1000, nout=250, overlap=True,
-    )
-    r0 = ps.solve_ve_sharded(
-        mesh, decomp, dict(blocks), pt, bc, 0.1,
-        iter_max=1000, nout=250, overlap=False,
-    )
+
+    def run(nit, nout, overlap):
+        return ps.solve_ve_sharded(
+            mesh, decomp, dict(blocks), pt, bc, 0.1,
+            iter_max=nit, nout=nout, overlap=overlap,
+        )
+
+    r1, r0 = run(1, 1, True), run(1, 1, False)
     for name in ("Vx", "Vy", "P", "txx", "tyy", "txy"):
         np.testing.assert_array_equal(
             np.asarray(getattr(r1, name)), np.asarray(getattr(r0, name)),
+            err_msg=f"{name} ghost dataflow differs after one iteration",
+        )
+
+    r1, r0 = run(1000, 250, True), run(1000, 250, False)
+    for name in ("Vx", "Vy", "P", "txx", "tyy", "txy"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(r1, name)), np.asarray(getattr(r0, name)),
+            rtol=0.0, atol=5e-15,
             err_msg=f"{name} differs between overlap paths",
         )
 
