@@ -88,7 +88,11 @@ def run_goldens(level="default"):
     """Execute small solves ON THE ATTACHED BACKEND (f32 on TPU) and check
     reference goldens at f32-appropriate tolerances (reference f64 values:
     test_stokes_solcx.jl:33-34, test_diffusion2D.jl:133-134,
-    test_stokes_elastic_buildup.jl)."""
+    test_shearband2D.jl:197-201, test_stokes_burstedde.jl:32-40,
+    test_shearband2D_DYREL.jl, test_stokes_elastic_buildup.jl). Default tier
+    covers every solver family the repo ships: linear Stokes, thermal, the
+    flagship fused VEP return mapping (XLA and Pallas-chunk paths), 3D
+    Stokes against the analytic Burstedde solution, and DYREL."""
     out = {}
     if level == "off":
         return out
@@ -110,6 +114,60 @@ def run_goldens(level="default"):
         "pass": bool(abs(mid - golden) < 0.5),
     }
 
+    # flagship VEP shearband: fused center+vertex Drucker-Prager return
+    # mapping + λ relaxation survive f32 on hardware. Goldens are the repo's
+    # converged f64 values (tests/test_shearband2d.py; reference
+    # test_shearband2D.jl:197-201 — see PARITY.md for the 0.2-1% offset).
+    from justrelax_tpu.models import shearband
+
+    _, sb_info, sb_tau_max, sb_sol, sb_tau_II = shearband.run(n=32, nt=10)
+    tII_max = float(np.asarray(sb_tau_II).max())
+    out["shearband_vep_tauII_max"] = {
+        "value": tII_max, "golden": 1.6415, "atol": 0.01,
+        "err": float(sb_info.err),
+        "pass": bool(abs(tII_max - 1.6415) < 0.01 and float(sb_info.err) < 1e-4),
+    }
+
+    # the same solve through the VMEM Pallas VEP chunk — golden-checked (not
+    # just timed): the plastic branch, continuation and free-slip all run
+    # inside the kernel
+    _, sbp_info, _, _, sbp_tau_II = shearband.run(n=32, nt=10, use_pallas=True)
+    tII_max_p = float(np.asarray(sbp_tau_II).max())
+    out["shearband_vep_pallas_tauII_max"] = {
+        "value": tII_max_p, "golden": 1.6415, "atol": 0.01,
+        "err": float(sbp_info.err),
+        "pass": bool(
+            abs(tII_max_p - 1.6415) < 0.01 and float(sbp_info.err) < 1e-4
+        ),
+    }
+
+    # 3D Stokes against the analytic Burstedde solution (reference
+    # test_stokes_burstedde.jl: err < 1e-8 f64; f32 stalls at the rounding
+    # floor so the oracle is the analytic velocity error)
+    from justrelax_tpu.models import burstedde
+
+    geom3, st3, info3 = burstedde.run(nx=16, ny=16, nz=16, iter_max=20_000,
+                                      nout=1_000)
+    vx_a, _ = burstedde.analytic_velocity(geom3)
+    vx = np.asarray(st3.V.Vx[:, 1:-1, 1:-1])
+    rel = float(np.linalg.norm(vx - vx_a) / np.linalg.norm(vx_a))
+    out["burstedde3d_vx_rel_err"] = {
+        "value": rel, "tol": 5.0e-2, "err": float(info3.err),
+        "pass": bool(rel < 5.0e-2),
+    }
+
+    # DYREL (Powell-Hestenes + dynamic relaxation + Gershgorin/Rayleigh
+    # autotuning) on the shearband config
+    from justrelax_tpu.models import shearband_dyrel
+
+    _, dy_info, dy_tau_max, dy_sol, dy_tau_II = shearband_dyrel.run(n=32, nt=10)
+    dy_max = float(np.asarray(dy_tau_II).max())
+    out["dyrel_shearband_tauII_max"] = {
+        "value": dy_max, "golden": 1.639, "atol": 0.02,
+        "err": float(dy_info.err),
+        "pass": bool(abs(dy_max - 1.639) < 0.02),
+    }
+
     if level == "full":
         from justrelax_tpu.models import elastic_buildup
 
@@ -121,10 +179,14 @@ def run_goldens(level="default"):
     return out
 
 
+DEFAULT_FAMILIES = (
+    "ve2d,vep2d,thermal2d,ve3d,ve3d_canvas,vep3d,"
+    "pallas_ve2d,pallas_ve2d_blocked,pallas_vep2d,pallas_thermal2d"
+)
+
+
 def main():
-    families = os.environ.get(
-        "BENCH_FAMILIES", "ve2d,vep2d,thermal2d,ve3d,pallas_ve2d,pallas_vep2d,pallas_thermal2d"
-    )
+    families = os.environ.get("BENCH_FAMILIES", DEFAULT_FAMILIES)
     families = [f for f in families.split(",") if f]
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     golden_level = os.environ.get("BENCH_GOLDENS", "default")
@@ -135,19 +197,24 @@ def main():
 
     goldens = run_goldens(golden_level)
 
-    # headline = best 2D VE number: the Pallas VMEM-chunk path when it ran
-    # (T_eff is *effective* — HBM touched once per chunk, so it can exceed
-    # HBM peak), else the XLA streaming path.
-    head = (
-        results.get("pallas_ve2d")
-        or results.get("ve2d")
-        or next(iter(results.values()))
-    )
+    # Two headline numbers so a VMEM-resident chunk figure is never mistaken
+    # for the production bar:
+    # - "production": the flagship multi-phase VEP iteration at 512² through
+    #   the XLA streaming path — what a production-scale coupled app pays;
+    # - "best_effective": the best Pallas chunk row (T_eff is *effective*:
+    #   HBM is touched once per chunk/pass, so it may exceed HBM peak).
+    prod = results.get("vep2d") or results.get("ve2d") or next(iter(results.values()))
+    pallas_rows = {k: v for k, v in results.items() if k.startswith("pallas_")}
+    best = max(pallas_rows.items(), key=lambda kv: kv[1]["T_eff_GBs"])[0] \
+        if pallas_rows else None
     payload = {
-        "metric": "stokes2d_pt_iteration_T_eff",
-        "value": head["T_eff_GBs"],
+        "metric": "vep2d_pt_iteration_T_eff_production",
+        "value": prod["T_eff_GBs"],
         "unit": "GB/s",
-        "vs_baseline": head["vs_hbm_peak"],
+        "vs_baseline": prod["vs_hbm_peak"],
+        "best_effective": (
+            {"family": best, **results[best]} if best else None
+        ),
         "families": results,
         "tpu_goldens": goldens,
         "goldens_all_pass": all(g["pass"] for g in goldens.values()) if goldens else None,

@@ -40,7 +40,7 @@ def _circle_phase_ratios(xs, ys, origin, radius):
 
 
 def run(n=32, nt=10, eps_bg=1.0, dtype=None, displacement_driven=False,
-        dilation_angle=0.0):
+        dilation_angle=0.0, use_pallas=False):
     """``displacement_driven=True`` reproduces the strain-increment variant
     (reference ShearBand2D_strain_increment.jl): the boundary forcing is set
     as a displacement increment U = V·dt under
@@ -125,6 +125,7 @@ def run(n=32, nt=10, eps_bg=1.0, dtype=None, displacement_driven=False,
             dt,
             iter_max=50_000,
             nout=100,
+            use_pallas=use_pallas,
         )
         if displacement_driven:
             stokes = velocity2displacement(stokes, dt)

@@ -364,7 +364,10 @@ def choose_blocking(nx, ny, itemsize=4, row_block=None, iters_per_pass=None,
     value canvases of W rows. Returns None if no configuration fits."""
     A = nx + 2
     b_pad = -((ny + 2) // -128) * 128
-    ks = [iters_per_pass] if iters_per_pass else [8, 6, 4, 2]
+    # default k keeps H = 2k a multiple of 8 so the dynamic window start is
+    # provably sublane-tile aligned (explicit iters_per_pass may break this —
+    # interpret-mode tests only)
+    ks = [iters_per_pass] if iters_per_pass else [8, 4]
     r_targets = [row_block] if row_block else [512, 384, 256, 192, 128, 96, 64, 48, 32]
     for k in ks:
         H = 2 * k
@@ -399,7 +402,15 @@ def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
     k_act = nit_ref[0]
 
     def wstart(b):
-        return jnp.clip(b * R - H, 0, A_pad - W)
+        # every reachable value (0, b·R−H, A_pad−W) is a multiple of
+        # gcd(R, H); Mosaic must prove sublane-tile (8) alignment of the
+        # dynamic HBM slice start, which choose_blocking guarantees by
+        # keeping H a multiple of 8
+        import math as _math
+
+        return pl.multiple_of(
+            jnp.clip(b * R - H, 0, A_pad - W), _math.gcd(R, H)
+        )
 
     def dma_c(slot, b):
         return pltpu.make_async_copy(

@@ -103,16 +103,23 @@ def solve_ve(
     thermal-stress pressure source of Kiss et al. 2023 (reference
     PressureKernels.jl:197-206).
 
-    ``use_pallas=True`` runs each ``nout``-iteration chunk inside the
-    VMEM-resident Pallas kernel (ops/pallas_stokes.py) — HBM is touched once
-    per chunk instead of once per iteration (measured on v5e at 382²:
-    3.3 µs/iter = 44 grid-updates/ns = 2.8 TB/s effective T_eff, ~6× the
-    XLA streaming path per grid update). The kernel covers the full
-    visco-elastic compressible physics of this solver (G, K, P0, Q, τ_o
-    enter as chunk-invariant coefficient canvases); it requires
-    all-free-slip BCs on a uniform serial grid, and grids whose calibrated
-    working set exceeds the raised scoped-VMEM budget (~820² at f32) are
-    rejected at trace time.
+    ``use_pallas=True`` runs each ``nout``-iteration chunk inside a Pallas
+    kernel (ops/pallas_stokes.py); both kernels cover the full visco-elastic
+    compressible physics of this solver (G, K, P0, Q, τ_o enter as
+    chunk-invariant coefficient canvases) and require all-free-slip BCs on
+    a uniform serial grid. Dispatch by grid size:
+
+    - VMEM-resident chunk (≲820² f32): all state lives in VMEM for the
+      whole chunk — measured on v5e at 382²: 3.3 µs/iter, 2.8 TB/s
+      effective T_eff, ~6× the XLA streaming path per grid update.
+    - Grid-blocked temporal streaming (larger grids): row-blocks with
+      2k-row halos advance k=8 iterations per VMEM pass with
+      double-buffered DMA — measured on v5e at 1024² f32: 41 µs/iter vs
+      the XLA path's 79, ~1.6 TB/s effective (2× HBM peak).
+
+    ``use_pallas="blocked"`` forces the blocked kernel regardless of size
+    (testing hook). Grids where neither kernel fits are rejected at trace
+    time.
     """
     nx, ny = stokes.P.shape
     if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
@@ -136,6 +143,7 @@ def solve_ve(
     max_chunks = max(1, int(math.ceil(iter_max / nout)))
     fs_dt = dt if free_surface else None
 
+    pallas_blocked = False
     if use_pallas:
         fs, ns = flow_bc.free_slip, flow_bc.no_slip
         if hasattr(geometry, "di_center"):
@@ -150,13 +158,20 @@ def solve_ve(
             raise ValueError("use_pallas supports all-free-slip BCs only")
         from justrelax_tpu.ops.pallas_stokes import (
             VMEM_BUDGET,
+            choose_blocking,
             vmem_bytes_needed,
         )
 
-        if vmem_bytes_needed(nx, ny) > VMEM_BUDGET:
+        itemsize = jnp.dtype(stokes.P.dtype).itemsize
+        pallas_blocked = (
+            use_pallas == "blocked"
+            or vmem_bytes_needed(nx, ny, itemsize) > VMEM_BUDGET
+        )
+        if pallas_blocked and choose_blocking(nx, ny, itemsize) is None:
             raise ValueError(
                 f"grid {nx}x{ny} exceeds the VMEM chunk kernel budget "
-                f"({vmem_bytes_needed(nx, ny)} > {VMEM_BUDGET} B)"
+                f"({vmem_bytes_needed(nx, ny, itemsize)} > {VMEM_BUDGET} B) "
+                "and no blocked configuration fits VMEM"
             )
 
     eta = stokes.viscosity.eta
@@ -214,9 +229,13 @@ def solve_ve(
 
     def body(c: _Carry):
         if use_pallas:
-            from justrelax_tpu.ops.pallas_stokes import stokes_chunk_vmem
+            from justrelax_tpu.ops.pallas_stokes import (
+                stokes_chunk_blocked,
+                stokes_chunk_vmem,
+            )
 
-            Vx, Vy, P, txx, tyy, txy = stokes_chunk_vmem(
+            chunk = stokes_chunk_blocked if pallas_blocked else stokes_chunk_vmem
+            Vx, Vy, P, txx, tyy, txy = chunk(
                 c.Vx, c.Vy, c.P, c.txx, c.tyy, c.txy,
                 eta, eta_tau, rho_gx, rho_gy,
                 inv_dx, inv_dy, r, theta_dtau, etadtau, nout=nout,

@@ -379,6 +379,144 @@ def ve3d(n=126, dtype=jnp.float32):
     return step, carry, consts, 35 * n_cells * 4, n_cells
 
 
+def vep3d(n=126, dtype=jnp.float32):
+    """One PT iteration of the 3D multi-phase VEP solve
+    (solvers/stokes3d_vep.py one_iteration, ShearBand3D config): maxloc →
+    compressible θ → strain rate → fused center+edges return mapping (3
+    shear-edge families) → τII viscosity continuation → damped V update +
+    free-slip.
+
+    Traffic (N = n³; staggered/edge arrays counted as N):
+      unknowns (R+W): V×3, θ, P, τ_c×6, τ_e×3, η, λ, λ_e×3 → 36·N
+      write-only    : τII, η_vep, ε_pl 6+3, ε_vol_pl, RP     → 13·N
+      read-only     : τ_o 6+3, EII, P0, Q, K, G, phase ratios (c + 3
+                      edges, 2 phases) 8·N                   → 22·N
+    A_eff = 71·N·4 B.
+    """
+    import numpy as _np
+
+    from justrelax_tpu.core.coeffs import PTStokesCoeffs
+    from justrelax_tpu.core.grid import Geometry
+    from justrelax_tpu.core.state import StokesState
+    from justrelax_tpu.ops import stokes3d as k3
+    from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions, flow_bcs
+    from justrelax_tpu.ops.stencil import maxloc
+    from justrelax_tpu.ops.stokes import compute_P
+    from justrelax_tpu.ops.stokes3d_vep import (
+        _inv_II,
+        update_stresses_center_edges_3d,
+    )
+    from justrelax_tpu.rheology.materials import (
+        Material,
+        MaterialStack,
+        get_bulk_modulus,
+        get_shear_modulus,
+    )
+    from justrelax_tpu.rheology.phases import phase_ratios_from_field
+    from justrelax_tpu.rheology.viscosity import (
+        continuation_linear,
+        phase_viscosity,
+    )
+
+    ni = (n, n, n)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    C = 1.6 / math.cos(math.radians(30.0))
+    common = dict(rho0=0.0, Kb=4.0, is_plastic=1.0, C=C,
+                  friction_angle=30.0, dilation_angle=0.0, eta_reg=1.25e-2)
+    material = MaterialStack.make([
+        Material(G=1.0, eta0=1.0, **common),
+        Material(G=0.5, eta0=0.1, **common),
+    ])
+    material = jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, material
+    )
+    X, Y, Zc = _np.meshgrid(*[_np.asarray(c) for c in geometry.xci], indexing="ij")
+    inside = (X - 0.5) ** 2 + (Y - 0.5) ** 2 + (Zc - 0.5) ** 2 <= 0.01
+    pr = phase_ratios_from_field(jnp.asarray(inside.astype(int)), 2)
+    pr = jax.tree.map(lambda x: x.astype(dtype), pr)
+    pr_edges = (pr.edge_yz, pr.edge_xz, pr.edge_xy)
+
+    stokes = StokesState.make(ni, dtype=dtype)
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di, CFL=0.75 / math.sqrt(3.1))
+    r, theta_dtau, etadtau = pt.r, pt.theta_dtau, pt.etadtau
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True,
+                        front=True, back=True)
+    )
+    dt = jnp.asarray(0.125, dtype)
+    K_c = get_bulk_modulus(material, pr.center)
+    G_c = get_shear_modulus(material, pr.center)
+    xv = jnp.asarray(geometry.xvi[0], dtype)
+    zv = jnp.asarray(geometry.xvi[2], dtype)
+    Vx = jnp.broadcast_to(xv[:, None, None], (n + 1, n + 2, n + 2)).astype(dtype)
+    Vy = jnp.zeros((n + 2, n + 1, n + 2), dtype)
+    Vz = jnp.broadcast_to((-zv)[None, None, :], (n + 2, n + 2, n + 1)).astype(dtype)
+    Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), bc)
+    eta0 = jnp.where(jnp.asarray(inside), 0.1, 1.0).astype(dtype)
+
+    class Carry(NamedTuple):
+        V: Any
+        theta: Array
+        P: Array
+        tau_c: Any
+        tau_e: Any
+        eta: Array
+        lam: Array
+        lam_e: Any
+
+    def step(n_iter, carry, consts):
+        P0, Q, tau_o_c6, tau_o_e3, EII_pl = consts
+
+        def body(_, c):
+            Vx, Vy, Vz = c.V
+            eta_tau = maxloc(c.eta, window=1)
+            grad_V = k3.compute_grad_V_3d(Vx, Vy, Vz, inv_di)
+            RP, theta = compute_P(
+                c.theta, P0, grad_V, Q, eta_tau, K_c, G_c, dt, r, theta_dtau
+            )
+            eps = k3.compute_strain_rate_3d(grad_V, Vx, Vy, Vz, inv_di)
+            res = update_stresses_center_edges_3d(
+                eps[:3], eps[3:], c.tau_c, c.tau_e, tau_o_c6, tau_o_e3,
+                theta, c.eta, c.lam, c.lam_e, EII_pl,
+                material, pr.center, pr_edges, 0.2, dt, theta_dtau,
+            )
+            tII = _inv_II(res.tau_c)
+            eta_n = phase_viscosity(material, tII, None, pr.center, "tau")
+            eta = continuation_linear(eta_n, c.eta, 1.0e-2)
+            tau6 = res.tau_c[:3] + res.tau_e
+            z = jnp.zeros_like(theta)
+            Vx, Vy, Vz, _, _, _ = k3.compute_V_3d(
+                Vx, Vy, Vz, res.P_corrected, tau6, z, z, z,
+                eta_tau, etadtau, inv_di,
+            )
+            Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), bc)
+            return Carry(
+                V=(Vx, Vy, Vz), theta=theta, P=res.P_corrected,
+                tau_c=res.tau_c, tau_e=res.tau_e, eta=eta,
+                lam=res.lam, lam_e=res.lam_e,
+            )
+
+        return lax.fori_loop(0, n_iter, body, carry)
+
+    Z = jnp.zeros(ni, dtype)
+    tyz = jnp.zeros((n, n + 1, n + 1), dtype)
+    txz = jnp.zeros((n + 1, n, n + 1), dtype)
+    txy = jnp.zeros((n + 1, n + 1, n), dtype)
+    # elastic memory near yield so the plastic branch is active
+    txx_o = jnp.full(ni, 1.0, dtype)
+    carry = Carry(
+        V=(Vx, Vy, Vz), theta=Z, P=Z,
+        tau_c=(Z, Z, Z, Z, Z, Z), tau_e=(tyz, txz, txy),
+        eta=eta0, lam=Z,
+        lam_e=(tyz, txz, txy),
+    )
+    consts = (Z, Z, (txx_o, -txx_o, Z, Z, Z, Z),
+              (tyz, txz, txy), Z)
+    n_cells = n * n * n
+    return step, carry, consts, 71 * n_cells * 4, n_cells
+
+
 def pallas_ve2d(n=382, dtype=jnp.float32):
     """VMEM-resident Pallas chunk iteration (viscous SolCx config).
 
@@ -540,12 +678,100 @@ def pallas_thermal2d(n=766, dtype=jnp.float32):
     return step, carry, consts, 16 * n_cells * 4, n_cells
 
 
+def pallas_ve2d_blocked(n=1024, dtype=jnp.float32):
+    """Grid-blocked temporally-blocked Pallas chunk at PRODUCTION scale
+    (1024² — past VMEM residency; ops/pallas_stokes.py stokes_chunk_blocked).
+
+    Row-blocks with 2k-row halos run k=8 iterations per pass in VMEM with
+    double-buffered DMA: HBM traffic drops to ~(20·W/R + 6)/k ≈ 3.7
+    canvas-equivalents per iteration, so T_eff on the same 16·N·4 B viscous
+    convention as pallas_ve2d is *effective* (amortized) throughput.
+    """
+    from justrelax_tpu.ops.pallas_stokes import stokes_chunk_blocked
+    from justrelax_tpu.ops.stencil import maxloc
+
+    geometry, stokes, pt, bc, rho_g, G, K = _solcx_setup(n, n, dtype)
+    inv_dx = 1.0 / geometry.di[0]
+    inv_dy = 1.0 / geometry.di[1]
+    r, theta_dtau, etadtau = (
+        float(pt.r), float(pt.theta_dtau), float(pt.etadtau))
+    eta = stokes.viscosity.eta
+    eta_tau = maxloc(eta, window=1)
+
+    def step(n_iter, carry, consts):
+        eta, eta_tau, gx, gy = consts
+        return stokes_chunk_blocked(
+            *carry, eta, eta_tau, gx, gy,
+            inv_dx, inv_dy, r, theta_dtau, etadtau, nout=n_iter,
+        )
+
+    Z = jnp.zeros((n, n), dtype)
+    carry = (
+        jnp.zeros((n + 1, n + 2), dtype), jnp.zeros((n + 2, n + 1), dtype),
+        Z, Z, Z, jnp.zeros((n + 1, n + 1), dtype),
+    )
+    consts = (eta, eta_tau, rho_g[0], rho_g[1])
+    n_cells = n * n
+    return step, carry, consts, 16 * n_cells * 4, n_cells
+
+
+def ve3d_canvas(n=126, dtype=jnp.float32):
+    """Collocated-canvas 3D VE iteration (ops/stokes3d_canvas.py) — the
+    roll+mask XLA formulation racing the slice/pad ``ve3d`` family. Same
+    35·N·4 B traffic convention (same physics config, same necessary
+    traffic) so the two rows are directly comparable."""
+    from justrelax_tpu.core.coeffs import PTStokesCoeffs
+    from justrelax_tpu.core.grid import Geometry
+    from justrelax_tpu.ops.stencil import maxloc
+    from justrelax_tpu.ops.stokes3d_canvas import (
+        pack_carry,
+        stokes3d_chunk_canvas,
+        ve3d_canvas_coefficients,
+    )
+
+    ni = (n, n, n)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di)
+    rng = np.random.default_rng(0)
+    eta = jnp.asarray(np.exp(0.3 * rng.normal(size=ni)), dtype)
+    fz = jnp.asarray(rng.normal(size=ni), dtype)
+    Z3 = jnp.zeros(ni, dtype)
+    eta_tau = maxloc(eta, window=1)
+    co = ve3d_canvas_coefficients(
+        eta, eta_tau, float(pt.r), float(pt.theta_dtau), float(pt.etadtau),
+        fx=Z3, fy=Z3, fz=fz,
+    )
+    co = jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, co
+    )
+    fields = (
+        jnp.zeros((n + 1, n + 2, n + 2), dtype),
+        jnp.zeros((n + 2, n + 1, n + 2), dtype),
+        jnp.zeros((n + 2, n + 2, n + 1), dtype),
+        Z3, Z3, Z3, Z3,
+        jnp.zeros((n, n + 1, n + 1), dtype),
+        jnp.zeros((n + 1, n, n + 1), dtype),
+        jnp.zeros((n + 1, n + 1, n), dtype),
+    )
+    carry = tuple(pack_carry(*fields))
+
+    def step(n_iter, carry, consts):
+        return stokes3d_chunk_canvas(carry, consts, inv_di, n_iter)
+
+    n_cells = n * n * n
+    return step, carry, co, 35 * n_cells * 4, n_cells
+
+
 FAMILIES = {
     "ve2d": ve2d,
     "vep2d": vep2d,
     "thermal2d": thermal2d,
     "ve3d": ve3d,
+    "ve3d_canvas": ve3d_canvas,
+    "vep3d": vep3d,
     "pallas_ve2d": pallas_ve2d,
+    "pallas_ve2d_blocked": pallas_ve2d_blocked,
     "pallas_vep2d": pallas_vep2d,
     "pallas_thermal2d": pallas_thermal2d,
 }

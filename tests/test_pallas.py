@@ -84,15 +84,21 @@ def test_solve_ve_use_pallas_validation():
     )
     with pytest.raises(ValueError, match="free-slip"):
         solve_ve(stokes, pt, geom, bc_ns, (z, z), G, G, 0.1, use_pallas=True)
-    big = StokesState.make((1024, 1024))
-    geom_big = Geometry((1024, 1024), (1.0, 1.0))
+    # grids past VMEM residency fall through to the blocked kernel — only a
+    # grid no blocked configuration fits is rejected
+    from justrelax_tpu.ops.pallas_stokes import choose_blocking
+
+    assert choose_blocking(1024, 1024, 8) is not None
+    assert choose_blocking(1024, 20000, 8) is None
+    big = StokesState.make((64, 20000))
+    geom_big = Geometry((64, 20000), (1.0, 1.0))
     bc = VelocityBoundaryConditions(
         free_slip=Faces(left=True, right=True, top=True, bot=True)
     )
-    zb = jnp.zeros((1024, 1024))
+    zb = jnp.zeros((64, 20000))
     with pytest.raises(ValueError, match="VMEM"):
-        solve_ve(big, pt, geom_big, bc, (zb, zb), jnp.full((1024, 1024), jnp.inf),
-                 jnp.full((1024, 1024), jnp.inf), 0.1, use_pallas=True)
+        solve_ve(big, pt, geom_big, bc, (zb, zb), jnp.full((64, 20000), jnp.inf),
+                 jnp.full((64, 20000), jnp.inf), 0.1, use_pallas=True)
 
 
 def test_chunk_kernel_visco_elastic_compressible_matches_xla():
@@ -205,3 +211,38 @@ def test_blocked_chunk_matches_resident():
                     np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-17,
                     err_msg=f"{name} (nout={nout}, pipeline={pipeline})",
                 )
+
+
+@pytest.mark.slow
+def test_solve_ve_use_pallas_blocked_matches_xla():
+    """solve_ve(use_pallas="blocked") — the grid-blocked streaming kernel
+    driven through the full solver loop — matches the XLA path (interpret
+    mode; FMA-contraction tolerance as in the chunk test)."""
+    nx, ny = 72, 40
+    geom = Geometry((nx, ny), (1.0, 1.0))
+    rng = np.random.default_rng(1)
+    eta = jnp.asarray(np.exp(rng.uniform(0, 2, (nx, ny))))
+    rho = jnp.asarray(1.0 + 0.2 * rng.standard_normal((nx, ny)))
+    pt = PTStokesCoeffs.make(geom.li, geom.di, CFL=1 / math.sqrt(2.1))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True)
+    )
+    z = jnp.zeros((nx, ny))
+    stokes = StokesState.make((nx, ny))
+    stokes = stokes.replace(viscosity=stokes.viscosity.replace(eta=eta))
+    G = jnp.full((nx, ny), 3.0)
+    K = jnp.full((nx, ny), 7.0)
+    args = (stokes, pt, geom, bc, (z, rho), G, K, 0.5)
+    kwargs = dict(iter_max=400, nout=200)
+    ref, info_ref = solve_ve(*args, **kwargs)
+    out, info_out = solve_ve(*args, use_pallas="blocked", **kwargs)
+    assert int(info_ref.iters) == int(info_out.iters)
+    np.testing.assert_allclose(
+        np.asarray(ref.V.Vx), np.asarray(out.V.Vx), rtol=1e-11, atol=1e-16
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.P), np.asarray(out.P), rtol=1e-11, atol=1e-15
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.tau.xy), np.asarray(out.tau.xy), rtol=1e-11, atol=1e-15
+    )

