@@ -249,7 +249,8 @@ def run(nx=16, ny=8, nt=2, dtype=None, seed=0):
             material, T_center, stokes.P, pr.center, geometry.di
         )
         pT = subgrid_diffusion(
-            pT, thermal.T[1:-1, 1:-1], dt0, particles, geometry, dt
+            pT, thermal.T[1:-1, 1:-1], thermal.dT[1:-1, 1:-1], dt0,
+            particles, geometry, dt,
         )
 
         # advect particles + marker chain, refresh ratios and rock ratio

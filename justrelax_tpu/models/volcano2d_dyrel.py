@@ -207,7 +207,8 @@ def run(nx=16, ny=8, nt=2, dtype=None, seed=0):
             material, T_center, stokes.P, pr.center, geometry.di
         )
         pT = subgrid_diffusion(
-            pT, thermal.T[1:-1, 1:-1], dt0, particles, geometry, dt
+            pT, thermal.T[1:-1, 1:-1], thermal.dT[1:-1, 1:-1], dt0,
+            particles, geometry, dt,
         )
 
         V = (stokes.V.Vx, stokes.V.Vy)

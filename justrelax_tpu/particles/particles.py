@@ -254,10 +254,25 @@ def particle2centroid(field: Array, particles: Particles, geometry) -> Array:
 
 
 def centroid2particle(center_field: Array, particles: Particles, geometry) -> Array:
-    """Center field (nx, ny) → particles (bilinear on the center lattice,
-    edge-clamped)."""
+    """Center field → particles, bilinear on the center lattice.
+
+    A plain (nx, ny) field is edge-clamped: particles between the outermost
+    centroid and the wall see the centroid value. A GHOSTED field
+    (nx+2, ny+2) interpolates on the ghost-center lattice instead — the
+    ghost values encode the boundary conditions (e.g. 2·T_bc − T_in), so
+    near-wall particles interpolate *through* the physical boundary value.
+    Pass the ghosted array wherever the field has meaningful BCs (the clamp
+    visibly corrupts the wall gradient of a linear geotherm: Nu in the
+    Blankenbach PIC loop reads 1.14 instead of 1.00 with the clamped form).
+    """
     ox, oy = geometry.origin
     dx, dy = geometry.di
+    nx, ny = particles.px.shape[:2]
+    if center_field.shape == (nx + 2, ny + 2):
+        return _bilinear(
+            center_field, ox - dx / 2, oy - dy / 2, dx, dy,
+            particles.px, particles.py,
+        )
     return _bilinear(
         center_field, ox + dx / 2, oy + dy / 2, dx, dy, particles.px, particles.py
     )
@@ -381,11 +396,37 @@ def subgrid_characteristic_time(material, T, P, phase_ratios, di):
 
 
 def subgrid_diffusion(
-    pT: Array, T_grid: Array, dt0_grid: Array, particles: Particles, geometry, dt, d=1.0
+    pT: Array, T_grid: Array, dT_grid: Array, dt0_grid: Array,
+    particles: Particles, geometry, dt, d=1.0
 ):
-    """Relax particle temperature toward the grid solution on the subgrid
-    characteristic time: pT ← T + (pT − T)·exp(−d·dt/dt₀)."""
-    T_at_p = centroid2particle(T_grid, particles, geometry)
+    """Gerya-scheme subgrid diffusion of the particle temperature (JustPIC
+    ``subgrid_diffusion_centroid!``; reference call site
+    test_Blankenbach.jl:223-226).
+
+    The particle temperature relaxes toward the PRE-diffusion grid field on
+    the subgrid characteristic time, and the grid increment that the subgrid
+    relaxation did not account for is added back:
+
+      ΔT_sub^p  = (T_old@p − pT)·(1 − exp(−d·dt/dt₀@p))
+      ΔT_rem    = ΔT_grid − P2G(ΔT_sub^p)
+      pT        ← pT + ΔT_sub^p + ΔT_rem@p
+
+    ``T_grid`` is the post-diffusion grid temperature and ``dT_grid`` the
+    diffusion increment (thermal.dT = T − Told). Pass them GHOSTED
+    ((nx+2, ny+2), as ``thermal.T``/``thermal.dT`` are stored) so near-wall
+    particles interpolate through the boundary values; plain (nx, ny)
+    center arrays are accepted with edge-clamped interpolation.
+    """
+    nx, ny = particles.px.shape[:2]
+    ghosted = T_grid.shape == (nx + 2, ny + 2)
+    T_old_p = centroid2particle(T_grid - dT_grid, particles, geometry)
     dt0_at_p = centroid2particle(dt0_grid, particles, geometry)
     fac = jnp.exp(-d * dt / jnp.maximum(dt0_at_p, 1e-30))
-    return jnp.where(particles.active, T_at_p + (pT - T_at_p) * fac, pT)
+    dT_sub_p = jnp.where(particles.active, (T_old_p - pT) * (1.0 - fac), 0.0)
+    dT_sub_grid = particle2centroid(dT_sub_p, particles, geometry)
+    if ghosted:
+        dT_rem = dT_grid.at[1:-1, 1:-1].add(-dT_sub_grid)
+    else:
+        dT_rem = dT_grid - dT_sub_grid
+    dT_rem_p = centroid2particle(dT_rem, particles, geometry)
+    return jnp.where(particles.active, pT + dT_sub_p + dT_rem_p, pT)
