@@ -60,3 +60,25 @@ for name, f, c, k in (("A slice/pad", fA, carryA, constsA), ("B canvas", fB, car
     t_iter = (t2 - t1) / 400
     teff = bpi / t_iter / 1e9
     print(f"{name}: t_iter={t_iter*1e6:.1f} us  T_eff(35N conv)={teff:.0f} GB/s  vs_peak={teff/819:.3f}")
+
+# --- C: temporally-blocked Pallas kernel ---------------------------------
+from justrelax_tpu.ops.pallas_stokes3d_blocked import (
+    stokes3d_chunk_blocked, choose_blocking_3d)
+print("blocking:", choose_blocking_3d(n, n, n, 11, 4))
+
+def stepC(nit, carry, consts):
+    return stokes3d_chunk_blocked(carry, consts, inv_di, nit)
+fC = jax.jit(stepC)
+
+outC = stepC(5, carryB, co)
+gotC = [np.asarray(x) for x in outC]
+gotB2 = [np.asarray(x) for x in stepB(5, carryB, co)]
+for name, a, b in zip(namesB, gotB2, gotC):
+    print(f"checkC {name}: maxabs={np.max(np.abs(a-b)):.3e} scale={np.max(np.abs(a)):.3e}")
+
+t_once(fC, 5, carryB, co)
+t1 = min(t_once(fC, 5, carryB, co) for _ in range(2))
+t2 = min(t_once(fC, 405, carryB, co) for _ in range(2))
+t_iter = (t2 - t1) / 400
+teff = bpi / t_iter / 1e9
+print(f"C blocked: t_iter={t_iter*1e6:.1f} us  T_eff(35N conv)={teff:.0f} GB/s  vs_peak={teff/819:.3f}")

@@ -29,6 +29,8 @@ from justrelax_tpu.core.state import StokesState, ThermalState
 __all__ = [
     "checkpointing",
     "load_checkpoint",
+    "checkpointing_particles",
+    "load_checkpoint_particles",
     "checkpointing_hdf5",
     "load_checkpoint_hdf5",
 ]
@@ -103,6 +105,53 @@ def load_checkpoint(
         else None
     )
     return stokes, thermal, float(d["time"]), float(d["timestep"])
+
+
+def checkpointing_particles(
+    dst: str,
+    particles,
+    fields: Optional[dict] = None,
+    t: float = 0.0,
+    dt: float = 0.0,
+    it: int = 0,
+    rank: Optional[int] = None,
+) -> str:
+    """Atomic particle checkpoint → ``<dst>/particles[rank].npz``
+    (the analogue of the reference's ``checkpointing_particles``, call site
+    miniapps/subduction/2D/Subduction2D.jl:271): positions + activity mask
+    + every per-particle field (phase, T, stresses, ...) + (t, dt, it)."""
+    name = f"particles{rank if rank is not None else ''}.npz"
+    path = os.path.join(dst, name)
+    payload = {
+        "t": np.asarray(t), "dt": np.asarray(dt), "it": np.asarray(it),
+        "px": np.asarray(particles.px), "py": np.asarray(particles.py),
+        "active": np.asarray(particles.active),
+        "min_xcell": np.asarray(particles.min_xcell),
+        "nxcell": np.asarray(particles.nxcell),
+    }
+    for k, v in (fields or {}).items():
+        payload[f"field/{k}"] = np.asarray(v)
+    _atomic_savez(path, payload)
+    return path
+
+
+def load_checkpoint_particles(path: str):
+    """Restore ``(particles, fields, t, dt, it)`` saved by
+    :func:`checkpointing_particles` (reference Subduction2D_restart.jl:81)."""
+    from justrelax_tpu.particles.particles import Particles
+
+    with np.load(path) as data:
+        d = dict(data)
+    particles = Particles(
+        px=jnp.asarray(d["px"]), py=jnp.asarray(d["py"]),
+        active=jnp.asarray(d["active"]),
+        min_xcell=int(d["min_xcell"]), nxcell=int(d["nxcell"]),
+    )
+    fields = {
+        k[len("field/"):]: jnp.asarray(v)
+        for k, v in d.items() if k.startswith("field/")
+    }
+    return particles, fields, float(d["t"]), float(d["dt"]), int(d["it"])
 
 
 def checkpointing_hdf5(

@@ -40,7 +40,7 @@ def _circle_phase_ratios(xs, ys, origin, radius):
 
 
 def run(n=32, nt=10, eps_bg=1.0, dtype=None, displacement_driven=False,
-        dilation_angle=0.0, use_pallas=False):
+        dilation_angle=0.0, use_pallas=False, dqdtau_alt=0.0):
     """``displacement_driven=True`` reproduces the strain-increment variant
     (reference ShearBand2D_strain_increment.jl): the boundary forcing is set
     as a displacement increment U = V·dt under
@@ -76,6 +76,7 @@ def run(n=32, nt=10, eps_bg=1.0, dtype=None, displacement_driven=False,
         friction_angle=phi,
         dilation_angle=dilation_angle,
         eta_reg=eta_reg,
+        dqdtau_alt=dqdtau_alt,
     )
     material = MaterialStack.make(
         [Material(G=G0, **common), Material(G=Gi, **common)]

@@ -353,10 +353,14 @@ def vep_chunk_supported(material, geometry, flow_bc, free_surface) -> bool:
     const_rho = not any(
         np.any(np.asarray(getattr(m, a)) != 0) for a in ("alpha", "beta")
     )
+    # the in-kernel return mapping implements the consistent ∂Q/∂τ tensor
+    # gradient only (the Material.dqdtau_alt bracketing convention falls
+    # back to the XLA path)
+    consistent_dq = not np.any(np.asarray(m.dqdtau_alt) != 0)
     fs = flow_bc.free_slip
     all_fs = all(v is True for v in (fs.left, fs.right, fs.top, fs.bot))
     return (
-        linear and const_rho and not free_surface
+        linear and const_rho and consistent_dq and not free_surface
         and not hasattr(geometry, "di_center")
         and not flow_bc.no_slip.any()
         and all_fs

@@ -99,11 +99,15 @@ def ve3d_canvas_coefficients(
     eta, eta_tau, r, theta_dtau, etadtau,
     fx=None, fy=None, fz=None,
     G=None, K=None, P0=None, Q=None, tau_o=None, dt=None,
+    psi_eta=None,
 ) -> CanvasCoeffs3D:
     """Build the coefficient canvases from (nx, ny, nz) cell fields.
 
     ``G``/``K`` of ∞ (or None) select the viscous/incompressible limits with
     the corresponding coefficients statically removed from the iteration.
+    ``psi_eta`` overrides the viscosity entering the pressure relaxation ψ
+    (default ``eta_tau``; solve_ve_3d passes ``eta``, matching its
+    compute_P call).
     """
     ni = eta.shape
     dtype = eta.dtype
@@ -129,6 +133,8 @@ def ve3d_canvas_coefficients(
     # → roll axes (1, 2); τxz → (0, 2); τxy → (0, 1)
     edge_axes = ((1, 2), (0, 2), (0, 1))
 
+    if psi_eta is None:
+        psi_eta = eta_tau
     if G is None:
         dtau_r = 1.0 / (theta_dtau + 1.0)
         a_c = 1.0 - dtau_r
@@ -136,7 +142,7 @@ def ve3d_canvas_coefficients(
         a_e = (a_c, a_c, a_c)
         b_e = tuple(2.0 * _edge_avg(eta_c, *ax) * dtau_r for ax in edge_axes)
         d_c = d_e = None
-        psi = eta_tau * (r / theta_dtau)
+        psi = psi_eta * (r / theta_dtau)
         c1 = c2 = None
         c3 = cell(psi, "edge")
         if K is not None or P0 is not None or Q is not None:
@@ -160,7 +166,7 @@ def ve3d_canvas_coefficients(
     _Gdt = 1.0 / (G * dt)
     _Kdt = 1.0 / (K * dt)
     inv_dt = jnp.where(jnp.isinf(dt), 0.0, 1.0 / dt)
-    psi = 1.0 / (1.0 / eta_tau + _Gdt) * (r / theta_dtau)
+    psi = 1.0 / (1.0 / psi_eta + _Gdt) * (r / theta_dtau)
     c1v = 1.0 / (1.0 + _Kdt * psi)
     c2v = (P0 * _Kdt + Q * inv_dt) * psi * c1v
     c3 = cell(psi * c1v, "edge")

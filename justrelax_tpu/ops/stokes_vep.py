@@ -111,8 +111,9 @@ def update_stresses_center_vertex(
         jnp.maximum(F_v, 0.0) / (eta_v * dtau_rv + ppv.eta_reg + volume_v)
     )
     lam_v_new = jnp.where(yield_v, lam_v_new, lam_v)
-    # tensor-convention ∂Q/∂τxy = pl_frac · τ_trial/(2 τII)
-    dQdt_xy_v = ppv.pl_frac * 0.5 * _safe_div(txy_trial_v, tau_II_v)
+    # ∂Q/∂τxy = pl_frac · dq_shear · τ_trial/(2 τII)  (dq_shear = 1 for the
+    # consistent tensor gradient, 0.5 for the Material.dqdtau_alt bracket)
+    dQdt_xy_v = ppv.pl_frac * 0.5 * ppv.dq_shear * _safe_div(txy_trial_v, tau_II_v)
     eps_pl_xy_v = jnp.where(yield_v, lam_v_new * dQdt_xy_v, 0.0)
     txy_v_new = txy_v + jnp.where(
         yield_v, dtxy_v - 2.0 * eta_v * eps_pl_xy_v * dtau_rv, dtxy_v
@@ -145,7 +146,9 @@ def update_stresses_center_vertex(
     scale = ppc.pl_frac * 0.5
     eps_pl_xx = jnp.where(yield_c, lam_new * scale * _safe_div(txx_t, tau_II_t), 0.0)
     eps_pl_yy = jnp.where(yield_c, lam_new * scale * _safe_div(tyy_t, tau_II_t), 0.0)
-    eps_pl_xy = jnp.where(yield_c, lam_new * scale * _safe_div(txy_t, tau_II_t), 0.0)
+    eps_pl_xy = jnp.where(
+        yield_c, lam_new * scale * ppc.dq_shear * _safe_div(txy_t, tau_II_t), 0.0
+    )
 
     corr = 2.0 * eta * dtau_r
     txx_new = jnp.where(yield_c, txx_t - corr * eps_pl_xx, txx_t)

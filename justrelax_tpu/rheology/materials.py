@@ -107,6 +107,12 @@ class Material:
     # tension cap: elliptic closure of the DP cone at P = pT < 0 (GeoParams
     # DruckerPragerCap pT; 0 disables — see plasticity._tension_cap_yield)
     tension_pT: Array = 0.0
+    # ∂Q/∂τ shear-slot convention (un-retrievable GeoParams v0.7.17 internal
+    # — see PARITY.md): 0 = mathematically consistent tensor gradient
+    # (shear slot τ/(2τII)); 1 = the bracketing candidate (extra halving of
+    # the shear slot → τ/(4τII)). The two conventions straddle the published
+    # ShearBand2D golden values from opposite sides.
+    dqdtau_alt: Array = 0.0
     # linear softening of C / φ to (soft_*_min) over EII ∈ [lo, hi]
     soft_C_active: Array = 0.0
     soft_C_min: Array = 0.0

@@ -47,6 +47,7 @@ class PlasticParams(NamedTuple):
     sinpsi: Array  # Σ_pl r·sinψ
     eta_reg: Array  # Σ_pl r·η_reg
     pT: Array  # Σ_pl r·pT tension-cap closure pressure (0 = no cap)
+    dq_shear: Array  # ∂Q/∂τ shear-slot multiplier: 1 (consistent) … 0.5 (alt)
 
 
 def _soften(val, min_v, slope_active, lo, hi, EII):
@@ -109,6 +110,8 @@ def plastic_params_phase(material, EII: Array, phase_ratios: Optional[Array]) ->
         sinpsi=jnp.sum(rw * sinpsi_p, axis=-1),
         eta_reg=jnp.sum(rw * eta_reg_p, axis=-1),
         pT=jnp.sum(rw * _bcast(m.tension_pT, EII), axis=-1),
+        dq_shear=1.0 - 0.5 * jnp.sum(rw * _bcast(m.dqdtau_alt, EII), axis=-1)
+        / jnp.maximum(jnp.sum(rw, axis=-1), 1e-30),
     )
 
 

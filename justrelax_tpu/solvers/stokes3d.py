@@ -32,7 +32,8 @@ __all__ = ["solve_ve_3d"]
 
 @partial(
     jax.jit,
-    static_argnames=("geometry", "flow_bc", "iter_max", "nout", "mean_free_RP", "boundary_shear"),
+    static_argnames=("geometry", "flow_bc", "iter_max", "nout", "mean_free_RP",
+                     "boundary_shear", "use_pallas"),
 )
 def solve_ve_3d(
     stokes: StokesState,
@@ -48,12 +49,23 @@ def solve_ve_3d(
     mean_free_RP: bool = False,
     boundary_shear: bool = False,
     alpha_dT=None,
+    use_pallas: bool = False,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """``mean_free_RP`` deflates the constant pressure-nullspace mode: with
     velocity imposed on every boundary, discretely incompatible boundary data
     (nonzero net flux, e.g. the Burstedde manufactured solution sampled at
     cell midpoints) otherwise makes P drift indefinitely and the continuity
-    residual stall."""
+    residual stall.
+
+    ``use_pallas=True`` runs each ``nout``-iteration chunk through the
+    temporally-blocked x-slab streaming kernel
+    (ops/pallas_stokes3d_blocked.py) — measured on v5e at 126³ f32:
+    384 µs/iter = 0.89× HBM peak on the Räss traffic convention, vs the
+    slice/pad XLA path's 529 µs (0.65×). Requires a uniform serial grid,
+    all-free-slip BCs, and the default residual/pressure options; residual
+    norms are evaluated once per chunk from the streamed state (one velocity
+    update later than the XLA path's in-iteration residuals — same
+    convergence criterion, slightly different iteration counts)."""
     nx, ny, nz = stokes.P.shape
     # nonuniform vector-spacing support (reference Grid.jl:262-316 _di
     # variants): center family for divergence/normal strains, vertex family
@@ -73,6 +85,32 @@ def solve_ve_3d(
         stokes.tau_o.yz, stokes.tau_o.xz, stokes.tau_o.xy,
     )
     fx, fy, fz = rho_g
+
+    if use_pallas:
+        fs = flow_bc.free_slip
+        if hasattr(geometry, "di_center"):
+            raise ValueError("use_pallas requires a uniform grid")
+        if mean_free_RP or boundary_shear or alpha_dT is not None:
+            raise ValueError(
+                "use_pallas supports the default residual/shear options only"
+            )
+        if not all((fs.left, fs.right, fs.top, fs.bot, fs.front, fs.back)) \
+                or flow_bc.no_slip.any():
+            raise ValueError("use_pallas supports all-free-slip BCs only")
+        from justrelax_tpu.ops.stokes3d_canvas import (
+            pack_carry,
+            unpack_carry,
+            ve3d_canvas_coefficients,
+        )
+
+        # full VE/compressible coefficient canvases (always correct; the
+        # viscous limit just carries trivial c1/c2/a/d canvases — ~23 vs 11
+        # streamed planes, still far below the XLA path's ~53)
+        co_pallas = ve3d_canvas_coefficients(
+            eta, eta_tau, r, theta_dtau, etadtau,
+            fx=fx, fy=fy, fz=fz, psi_eta=eta,
+            G=G, K=K, P0=P0, Q=Q, tau_o=tau_o, dt=dt,
+        )
 
     class C(NamedTuple):
         V: Tuple
@@ -125,11 +163,34 @@ def solve_ve_3d(
         return tuple(getattr(c2, k) for k in _CORE)
 
     def body(c: C):
-        t = lax.fori_loop(
-            0, nout_i - 1, one_iteration_core,
-            tuple(getattr(c, k) for k in _CORE),
-        )
-        c = one_iteration(0, c._replace(**dict(zip(_CORE, t))))
+        if use_pallas:
+            from justrelax_tpu.ops.pallas_stokes3d_blocked import (
+                stokes3d_chunk_blocked,
+            )
+
+            Vx, Vy, Vz = c.V
+            packed = tuple(pack_carry(Vx, Vy, Vz, c.P, *c.tau))
+            out = stokes3d_chunk_blocked(
+                packed, co_pallas, inv_di, nout_i,
+                interpret=jax.default_backend() != "tpu",
+            )
+            Vx, Vy, Vz, P, *tau6 = unpack_carry(jnp.stack(out), nx, ny, nz)
+            # residuals from the streamed state (post-update convention)
+            grad_V = k3.compute_grad_V_3d(Vx, Vy, Vz, inv_di)
+            RP, _ = compute_P(P, P0, grad_V, Q, eta, K, G, dt, r, theta_dtau)
+            _, _, _, Rx, Ry, Rz = k3.compute_V_3d(
+                Vx, Vy, Vz, P, tuple(tau6), fx, fy, fz,
+                jnp.ones_like(P), 0.0, inv_di, spacings=mom_spacings,
+            )
+            c = c._replace(
+                V=(Vx, Vy, Vz), P=P, tau=tuple(tau6), RP=RP, R=(Rx, Ry, Rz)
+            )
+        else:
+            t = lax.fori_loop(
+                0, nout_i - 1, one_iteration_core,
+                tuple(getattr(c, k) for k in _CORE),
+            )
+            c = one_iteration(0, c._replace(**dict(zip(_CORE, t))))
         nRx, nRy, nRz, nRP = norms(c)
         err = jnp.max(jnp.stack([nRx, nRy, nRz, nRP]))
         err1 = jnp.where(c.chunk == 0, err, c.err1)
