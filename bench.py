@@ -149,7 +149,9 @@ def run_goldens(level="default"):
     geom3, st3, info3 = burstedde.run(nx=16, ny=16, nz=16, iter_max=20_000,
                                       nout=1_000)
     vx_a, _ = burstedde.analytic_velocity(geom3)
-    vx = np.asarray(st3.V.Vx[:, 1:-1, 1:-1])
+    # the analytic vx is z-independent: compare the mid-z plane, as
+    # tests/test_stokes_burstedde.py does
+    vx = np.asarray(st3.V.Vx[:, 1:-1, 8])
     rel = float(np.linalg.norm(vx - vx_a) / np.linalg.norm(vx_a))
     out["burstedde3d_vx_rel_err"] = {
         "value": rel, "tol": 5.0e-2, "err": float(info3.err),
@@ -204,15 +206,16 @@ def main():
     #   the XLA streaming path — what a production-scale coupled app pays;
     # - "best_effective": the best Pallas chunk row (T_eff is *effective*:
     #   HBM is touched once per chunk/pass, so it may exceed HBM peak).
-    prod = results.get("vep2d") or results.get("ve2d") or next(iter(results.values()))
+    prod = (results.get("vep2d") or results.get("ve2d")
+            or next(iter(results.values()), None))
     pallas_rows = {k: v for k, v in results.items() if k.startswith("pallas_")}
     best = max(pallas_rows.items(), key=lambda kv: kv[1]["T_eff_GBs"])[0] \
         if pallas_rows else None
     payload = {
         "metric": "vep2d_pt_iteration_T_eff_production",
-        "value": prod["T_eff_GBs"],
+        "value": prod["T_eff_GBs"] if prod else None,
         "unit": "GB/s",
-        "vs_baseline": prod["vs_hbm_peak"],
+        "vs_baseline": prod["vs_hbm_peak"] if prod else None,
         "best_effective": (
             {"family": best, **results[best]} if best else None
         ),

@@ -22,10 +22,15 @@ faces. Per-iteration work is genuinely nonlinear (λ relaxation, yield
 branch, continuation) and runs on the VPU over full canvases.
 
 Restrictions (dispatch falls back to the XLA path otherwise): uniform grid,
-all-free-slip BCs, linear creep (constant per-phase η0 — the in-kernel
-viscosity update is the continuation toward a constant table, exactly what
-``compute_viscosity_fields`` reduces to for linear materials in 'tau' mode),
-constant density (ρg chunk-invariant), no free-surface term.
+each face free-slip or no-slip (both run in-kernel, incl. the reference's
+bottom-row Vx/3 no-slip smoothing), constant density (ρg chunk-invariant),
+no free-surface term, and a creep table that is either linear (continuation
+toward a constant target — what ``compute_viscosity_fields`` reduces to in
+'tau' mode) or collapses to a shared-exponent power law
+``1/η = A + B·τII^(n−1)`` per cell (dislocation creep with one shared n
+plus diffusion/linear phases; harmonic phase blending is linear in
+reciprocals, so the blend collapses into the chunk-invariant canvases A, B
+— rheology/viscosity.py::powerlaw_recip_coeffs).
 
 Canvas layout (as the VE kernel):
 - cell (i, j)   -> (i+1, j+1);  ghost ring holds edge-replicated values
@@ -68,12 +73,14 @@ __all__ = [
 VEP_VMEM_BUDGET = 100 * 1024 * 1024  # matches the pallas_call scoped limit
 
 
-def vep_vmem_bytes_needed(nx: int, ny: int, itemsize: int = 4) -> int:
+def vep_vmem_bytes_needed(nx: int, ny: int, itemsize: int = 4,
+                          nonlinear: bool = False) -> int:
     """~55 canvas-equivalents live (12 carry double-buffered, 33 invariant
-    stacks, in-body temporaries), padded to the (8, 128) f32 tile."""
+    stacks, in-body temporaries; +2 for the power-law coefficient canvases),
+    padded to the (8, 128) f32 tile."""
     a = -((nx + 2) // -8) * 8
     b = -((ny + 2) // -128) * 128
-    return 55 * a * b * itemsize
+    return (57 if nonlinear else 55) * a * b * itemsize
 
 
 def _sm1(A, ax):
@@ -176,10 +183,11 @@ def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
             cinv_ref, vinv_ref, scal_ref, nit_ref,
             Vx_o, Vy_o, th_o, pc_o, txx_o_ref, tyy_o_ref, txyc_o,
             txyv_o, eta_o, etav_o, lam_o, lamv_o,
-            *, nx, ny, has_cap):
+            *, nx, ny, has_cap, cnames=_CINV, vnames=_VINV,
+            bc_modes=("free_slip",) * 4, visc_m=None):
     shape = th_ref.shape
-    ci = {k: cinv_ref[i] for i, k in enumerate(_CINV)}
-    vi = {k: vinv_ref[i] for i, k in enumerate(_VINV)}
+    ci = {k: cinv_ref[i] for i, k in enumerate(cnames)}
+    vi = {k: vinv_ref[i] for i, k in enumerate(vnames)}
 
     inv_dx = scal_ref[0]
     inv_dy = scal_ref[1]
@@ -286,16 +294,40 @@ def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
         lam = jnp.where(Mc, lam_new, lam)
         P_c = jnp.where(Mc, theta - ci["Kdt0"] * lam_new * dQdP, P_c)
 
-        # ---------- viscosity continuation toward the linear table ----------
+        # ---------- viscosity continuation ----------
+        # linear: toward the constant phase-blended table. Nonlinear
+        # (collapsed tau-mode power law, rheology/viscosity.py::
+        # powerlaw_recip_coeffs): target = 1/(A + B·τII^m) from the just-
+        # updated stresses — exactly compute_viscosity_fields' "tau"-mode
+        # invariants (centers: (txx, tyy, txy_c); vertices: (0, 0, txy_v)
+        # with the all-zero eps jitter, viscosity.py:227-234).
+        if visc_m is None:
+            tgt_c = ci["eta_tab"]
+            tgt_v = vi["eta_tab"]
+        else:
+            eps_f = jnp.finfo(eta.dtype).eps
+            tiny_f = jnp.finfo(eta.dtype).tiny
+            tII_c = jnp.sqrt(0.5 * (txx * txx + tyy * tyy) + txy_c * txy_c)
+            tII_c = jnp.where(tII_c == 0.0, eps_f, tII_c)
+            pw_c = 1.0 if visc_m == 0.0 else tII_c ** visc_m
+            tgt_c = 1.0 / jnp.maximum(
+                ci["visc_A"] + ci["visc_B"] * pw_c, tiny_f
+            )
+            tII_vv = jnp.abs(txy_v)
+            tII_vv = jnp.where(tII_vv == 0.0, eps_f, tII_vv)
+            pw_v = 1.0 if visc_m == 0.0 else tII_vv ** visc_m
+            tgt_v = 1.0 / jnp.maximum(
+                vi["visc_A"] + vi["visc_B"] * pw_v, tiny_f
+            )
         eta = jnp.where(
             Mc,
-            jnp.clip(relax_v * ci["eta_tab"] + (1.0 - relax_v) * eta,
+            jnp.clip(relax_v * tgt_c + (1.0 - relax_v) * eta,
                      cut_lo, cut_hi),
             eta,
         )
         eta_v = jnp.where(
             Mv,
-            jnp.clip(relax_v * vi["eta_tab"] + (1.0 - relax_v) * eta_v,
+            jnp.clip(relax_v * tgt_v + (1.0 - relax_v) * eta_v,
                      cut_lo, cut_hi),
             eta_v,
         )
@@ -319,14 +351,38 @@ def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
         )
         Vy = jnp.where(MVy, Vy + ry * inv_etay, Vy)
 
+        # per-side BCs (static bc_modes = (left, right, bot, top)):
+        # free_slip mirrors the tangential ghost; no_slip zeroes the normal
+        # face, negative-mirrors the tangential ghost and applies the
+        # reference's bottom-row Vx/3 smoothing (ops/bc.py::
+        # _no_slip_velocity_2d, reference no_slip.jl:1-20). Order matches the
+        # XLA path: face zeroing → smoothing → ghost writes (commutes here
+        # because the zeroed normal faces make the ghost writes
+        # order-insensitive at the corners).
+        b_left, b_right, b_bot, b_top = bc_modes
+        if b_left == "no_slip":
+            Vx = jnp.where(_band(shape, 0, 0, 0), 0.0, Vx)
+        if b_right == "no_slip":
+            Vx = jnp.where(_band(shape, 0, nx, nx), 0.0, Vx)
+        if b_bot == "no_slip":
+            Vy = jnp.where(_band(shape, 1, 0, 0), 0.0, Vy)
+            Vx = jnp.where(_band(shape, 1, 1, 1),
+                           _sm1(Vx, 1) * (1.0 / 3.0), Vx)
+        if b_top == "no_slip":
+            Vy = jnp.where(_band(shape, 1, ny, ny), 0.0, Vy)
+
         gxl = _band(shape, 1, 0, 0) & _band(shape, 0, 0, nx)
         gxr = _band(shape, 1, ny + 1, ny + 1) & _band(shape, 0, 0, nx)
         gyl = _band(shape, 0, 0, 0) & _band(shape, 1, 0, ny)
         gyr = _band(shape, 0, nx + 1, nx + 1) & _band(shape, 1, 0, ny)
-        Vx = jnp.where(gxl, _sm1(Vx, 1), Vx)
-        Vx = jnp.where(gxr, _sp1(Vx, 1), Vx)
-        Vy = jnp.where(gyl, _sm1(Vy, 0), Vy)
-        Vy = jnp.where(gyr, _sp1(Vy, 0), Vy)
+        sxl = -1.0 if b_bot == "no_slip" else 1.0
+        sxr = -1.0 if b_top == "no_slip" else 1.0
+        syl = -1.0 if b_left == "no_slip" else 1.0
+        syr = -1.0 if b_right == "no_slip" else 1.0
+        Vx = jnp.where(gxl, sxl * _sm1(Vx, 1), Vx)
+        Vx = jnp.where(gxr, sxr * _sp1(Vx, 1), Vx)
+        Vy = jnp.where(gyl, syl * _sm1(Vy, 0), Vy)
+        Vy = jnp.where(gyr, syr * _sp1(Vy, 0), Vy)
         return (Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v,
                 lam, lam_v)
 
@@ -340,16 +396,36 @@ def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
         o[:] = v
 
 
+def vep_chunk_bc_modes(flow_bc):
+    """Per-side static BC mode tuple (left, right, bot, top) for the chunk
+    kernel, or ``None`` if any face is not exactly one of free-slip /
+    no-slip."""
+    modes = []
+    for face in ("left", "right", "bot", "top"):
+        fs = getattr(flow_bc.free_slip, face) is True
+        ns = getattr(flow_bc.no_slip, face) is True
+        if fs == ns:
+            return None
+        modes.append("no_slip" if ns else "free_slip")
+    return tuple(modes)
+
+
 def vep_chunk_supported(material, geometry, flow_bc, free_surface) -> bool:
-    """Static dispatch predicate for the VMEM VEP chunk: linear creep,
-    constant density, uniform grid, all-free-slip, no free-surface term."""
+    """Static dispatch predicate for the VMEM VEP chunk: linear creep OR a
+    collapsible tau-mode power law (shared dislocation exponent +
+    diffusion/linear phases, rheology/viscosity.py::shared_powerlaw_exponent),
+    constant density, uniform grid, each face free-slip or no-slip, no
+    free-surface term."""
     import numpy as np
+
+    from justrelax_tpu.rheology.viscosity import shared_powerlaw_exponent
 
     m = _as_stack(material).params
     linear = not any(
         np.any(np.asarray(getattr(m, a)) > 0)
         for a in ("disl_A", "diff_A", "peierls_A", "gbs_A")
     )
+    creep_ok = linear or shared_powerlaw_exponent(material) is not None
     const_rho = not any(
         np.any(np.asarray(getattr(m, a)) != 0) for a in ("alpha", "beta")
     )
@@ -357,13 +433,10 @@ def vep_chunk_supported(material, geometry, flow_bc, free_surface) -> bool:
     # gradient only (the Material.dqdtau_alt bracketing convention falls
     # back to the XLA path)
     consistent_dq = not np.any(np.asarray(m.dqdtau_alt) != 0)
-    fs = flow_bc.free_slip
-    all_fs = all(v is True for v in (fs.left, fs.right, fs.top, fs.bot))
     return (
-        linear and const_rho and consistent_dq and not free_surface
+        creep_ok and const_rho and consistent_dq and not free_surface
         and not hasattr(geometry, "di_center")
-        and not flow_bc.no_slip.any()
-        and all_fs
+        and vep_chunk_bc_modes(flow_bc) is not None
     )
 
 
@@ -377,6 +450,7 @@ def stokes_vep_chunk_vmem(
     dt, inv_dx, inv_dy, r, theta_dtau, etadtau,
     rel_lambda, viscosity_relaxation, viscosity_cutoff,
     nout: int = 100, interpret: bool = False, has_cap=None,
+    flow_bc=None, T_v=None, visc_m="auto",
 ):
     """Advance ``nout`` fused VEP PT iterations fully inside VMEM.
 
@@ -384,10 +458,39 @@ def stokes_vep_chunk_vmem(
     Vy (nx+2, ny+1); cell fields (nx, ny); vertex fields (nx+1, ny+1).
     Returns the 12 carried fields in the same convention. Restrictions:
     see ``vep_chunk_supported``.
-    """
+
+    ``flow_bc`` (static): per-side free-slip/no-slip; ``None`` means
+    all-free-slip. ``visc_m`` (static): ``None`` for the linear constant-
+    target continuation, a float ``n − 1`` for the collapsed tau-mode power
+    law (then ``T``/``T_v`` feed the chunk-invariant Arrhenius canvases);
+    ``"auto"`` derives it from concrete material leaves (pass explicitly
+    under a jit trace, as solve_vep does)."""
     nx, ny = theta.shape
     shape = (nx + 2, ny + 2)
     dtype = theta.dtype
+
+    if visc_m == "auto":
+        from justrelax_tpu.rheology.viscosity import shared_powerlaw_exponent
+        import numpy as _np
+
+        mstk = _as_stack(material).params
+        linear = not any(
+            _np.any(_np.asarray(getattr(mstk, a)) > 0)
+            for a in ("disl_A", "diff_A", "peierls_A", "gbs_A")
+        )
+        visc_m = None if linear else shared_powerlaw_exponent(material)
+        if not linear and visc_m is None:
+            raise ValueError(
+                "material creep table does not collapse to a shared-exponent "
+                "power law (see shared_powerlaw_exponent)"
+            )
+    bc_modes = ("free_slip",) * 4
+    if flow_bc is not None:
+        bc_modes = vep_chunk_bc_modes(flow_bc)
+        if bc_modes is None:
+            raise ValueError(
+                "each face must be exactly one of free-slip / no-slip"
+            )
 
     def cell(A, mode="constant"):
         return jnp.pad(A, ((1, 1), (1, 1)), mode=mode)
@@ -411,13 +514,23 @@ def stokes_vep_chunk_vmem(
     EII_v = av_a(expand_edges(EII_pl))
     ppv = plastic_params_phase(material, EII_v, phase_ratios_vertex)
 
-    # linear-rheology viscosity targets (phase_viscosity is II-independent
-    # for linear materials; pass II=1 to keep it branch-free)
+    # viscosity-continuation targets: a constant table for linear creep
+    # (phase_viscosity is II-independent there; pass II=1 to keep it
+    # branch-free), or the collapsed power-law reciprocal coefficients
     ones_c = jnp.ones((nx, ny), dtype)
     ones_v = jnp.ones((nx + 1, ny + 1), dtype)
-    tab_c = phase_viscosity(material, ones_c, T, phase_ratios_center, "tau")
-    T_v = None
-    tab_v = phase_viscosity(material, ones_v, T_v, phase_ratios_vertex, "tau")
+    if visc_m is None:
+        tab_c = phase_viscosity(material, ones_c, T, phase_ratios_center, "tau")
+        tab_v = phase_viscosity(material, ones_v, T_v, phase_ratios_vertex, "tau")
+        visc_c = [("eta_tab", tab_c)]
+        visc_v = [("eta_tab", tab_v)]
+    else:
+        from justrelax_tpu.rheology.viscosity import powerlaw_recip_coeffs
+
+        Ac, Bc = powerlaw_recip_coeffs(material, ones_c, T, phase_ratios_center)
+        Av, Bv = powerlaw_recip_coeffs(material, ones_v, T_v, phase_ratios_vertex)
+        visc_c = [("visc_A", Ac), ("visc_B", Bc)]
+        visc_v = [("visc_A", Av), ("visc_B", Bv)]
 
     # constant-density buoyancy, face-averaged with the canvas convention
     from justrelax_tpu.rheology.materials import compute_density
@@ -434,24 +547,35 @@ def stokes_vep_chunk_vmem(
     txx_ov = av_a(expand_edges(txx_o))
     tyy_ov = av_a(expand_edges(tyy_o))
 
-    cinv = jnp.stack([
-        cell(P0 * _Kdt_c), cell(Q * inv_dt),
-        cell(txx_o), cell(tyy_o), cell(txy_c_o),
-        cell(_Gdt_c, "edge"), cell(_Kdt_c, "edge"), cell(Kdt0_c, "edge"),
-        cell(tab_c, "edge"),
-        cell(jnp.where(ppc.is_pl, 1.0, 0.0)),
-        cell(ppc.pl_frac * 0.5), cell(ppc.C_cosphi, "edge"),
-        cell(ppc.sinphi), cell(ppc.sinpsi), cell(ppc.eta_reg, "edge"),
-        cell(ppc.pT),
-        gxf, gyf,
-    ]).astype(dtype)
-    vinv = jnp.stack([
-        vert(txx_ov), vert(tyy_ov), vert(txy_v_o),
-        vert(_Gdt_v), vert(Kdt0_v), vert(tab_v),
-        vert(jnp.where(ppv.is_pl, 1.0, 0.0)), vert(ppv.pl_frac * 0.5),
-        vert(ppv.C_cosphi), vert(ppv.sinphi), vert(ppv.sinpsi),
-        vert(ppv.eta_reg), vert(ppv.pT),
-    ]).astype(dtype)
+    c_slots = [
+        ("P0_Kdt", cell(P0 * _Kdt_c)), ("Qdt", cell(Q * inv_dt)),
+        ("txx_o", cell(txx_o)), ("tyy_o", cell(tyy_o)),
+        ("txy_c_o", cell(txy_c_o)),
+        ("Gdt", cell(_Gdt_c, "edge")), ("Kdt_inv", cell(_Kdt_c, "edge")),
+        ("Kdt0", cell(Kdt0_c, "edge")),
+    ] + [(k, cell(v, "edge")) for k, v in visc_c] + [
+        ("is_pl", cell(jnp.where(ppc.is_pl, 1.0, 0.0))),
+        ("scale", cell(ppc.pl_frac * 0.5)),
+        ("Ccos", cell(ppc.C_cosphi, "edge")),
+        ("sinphi", cell(ppc.sinphi)), ("sinpsi", cell(ppc.sinpsi)),
+        ("etareg", cell(ppc.eta_reg, "edge")), ("pT", cell(ppc.pT)),
+        ("gxf", gxf), ("gyf", gyf),
+    ]
+    v_slots = [
+        ("txx_ov", vert(txx_ov)), ("tyy_ov", vert(tyy_ov)),
+        ("txy_v_o", vert(txy_v_o)),
+        ("Gdt", vert(_Gdt_v)), ("Kdt0", vert(Kdt0_v)),
+    ] + [(k, vert(v)) for k, v in visc_v] + [
+        ("is_pl", vert(jnp.where(ppv.is_pl, 1.0, 0.0))),
+        ("scale", vert(ppv.pl_frac * 0.5)),
+        ("Ccos", vert(ppv.C_cosphi)), ("sinphi", vert(ppv.sinphi)),
+        ("sinpsi", vert(ppv.sinpsi)), ("etareg", vert(ppv.eta_reg)),
+        ("pT", vert(ppv.pT)),
+    ]
+    cnames = tuple(k for k, _ in c_slots)
+    vnames = tuple(k for k, _ in v_slots)
+    cinv = jnp.stack([v for _, v in c_slots]).astype(dtype)
+    vinv = jnp.stack([v for _, v in v_slots]).astype(dtype)
 
     lo, hi = viscosity_cutoff  # static python floats (jit static kwarg)
     big = float(jnp.finfo(dtype).max)
@@ -481,7 +605,9 @@ def stokes_vep_chunk_vmem(
         has_cap = bool(
             _np.any(_np.asarray(_as_stack(material).params.tension_pT) != 0)
         )
-    kern = partial(_kernel, nx=nx, ny=ny, has_cap=bool(has_cap))
+    kern = partial(_kernel, nx=nx, ny=ny, has_cap=bool(has_cap),
+                   cnames=cnames, vnames=vnames, bc_modes=bc_modes,
+                   visc_m=None if visc_m is None else float(visc_m))
     out_shape = tuple(jax.ShapeDtypeStruct(shape, dtype) for _ in range(12))
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -35,7 +35,10 @@ Array = Any
 
 R_GAS = 8.314462618
 
-__all__ = ["phase_viscosity", "compute_viscosity_fields", "continuation_linear", "continuation_log"]
+__all__ = [
+    "phase_viscosity", "compute_viscosity_fields", "continuation_linear",
+    "continuation_log", "shared_powerlaw_exponent", "powerlaw_recip_coeffs",
+]
 
 
 def continuation_linear(x_new, x_old, nu):
@@ -172,6 +175,83 @@ def phase_viscosity(
     eta_dom = jnp.take_along_axis(eta_full, idx[..., None], axis=-1)[..., 0]
     dominant = jnp.max(phase_ratios, axis=-1) > 0.999
     return jnp.where(dominant, eta_dom, harm)
+
+
+def shared_powerlaw_exponent(material):
+    """Static collapse check for the tau-mode creep table.
+
+    Returns the shared stress power ``m = n − 1`` of the per-cell reciprocal
+    form ``1/η(τII) = A + B·τII^m`` when the stack's creep mechanisms
+    collapse to it (dislocation creep with one shared exponent ``n`` across
+    all phases that have it, plus the stress-independent diffusion creep and
+    linear-η0 phases); ``0.0`` when only diffusion creep is present; ``None``
+    when the table does NOT collapse (Peierls/GBS mechanisms, or mixed
+    dislocation exponents) *or* when it is purely linear (callers use the
+    cheaper constant-target path then). Must be called with concrete
+    (non-traced) material leaves.
+    """
+    import numpy as np
+
+    p = _as_stack(material).params
+    if np.any(np.asarray(p.peierls_A) > 0) or np.any(np.asarray(p.gbs_A) > 0):
+        return None
+    disl_A = np.asarray(p.disl_A)
+    ns = np.asarray(p.disl_n)[disl_A > 0]
+    if ns.size == 0:
+        return 0.0 if np.any(np.asarray(p.diff_A) > 0) else None
+    if not np.all(ns == ns.flat[0]):
+        return None
+    return float(ns.flat[0]) - 1.0
+
+
+def powerlaw_recip_coeffs(material, shape_like: Array, T, phase_ratios):
+    """Chunk-invariant per-cell coefficients (A, B) of the collapsed
+    tau-mode viscosity ``1/η(τII) = A + B·τII^m``.
+
+    Harmonic blending is linear in reciprocals, so with phase ratios and T
+    frozen the blend over phases collapses exactly:
+    ``Σ_p r_p/η_p(τ) = Σ_p r_p·(a_p + b_p·τ^m) = A + B·τ^m`` with
+    ``b_p = 2·A_disl·exp(−E/(R·T))`` (tau-mode reciprocal of
+    :func:`phase_viscosity`'s ``eta_disl``), ``a_p`` the stress-independent
+    part (diffusion creep, or ``1/η0`` for creep-free phases). The
+    dominant-phase early exit (ratio > 0.999 → that phase exactly,
+    Viscosity.jl:600-619) collapses per cell the same way. Valid only when
+    :func:`shared_powerlaw_exponent` is not ``None``.
+    """
+    p = _as_stack(material).params
+    ref = shape_like
+    tiny = jnp.finfo(ref.dtype).tiny
+    A = _bcast(p.disl_A, ref)
+    E = _bcast(p.disl_E, ref)
+    Ad = _bcast(p.diff_A, ref)
+    Ed = _bcast(p.diff_E, ref)
+    md = _bcast(p.diff_m, ref)
+    d = _bcast(p.grain_size, ref)
+    eta0 = _bcast(p.eta0, ref)
+    if T is None:
+        iRT = 0.0
+    else:
+        iRT = 1.0 / (R_GAS * jnp.maximum(T[..., None], 1e-30))
+    has_disl = A > 0
+    has_diff = Ad > 0
+    b_p = jnp.where(has_disl, 2.0 * A * jnp.exp(-E * iRT), 0.0)
+    a_diff = jnp.where(has_diff, 2.0 * Ad * d ** (-md) * jnp.exp(-Ed * iRT), 0.0)
+    any_creep = has_disl | has_diff
+    a_p = jnp.where(any_creep, a_diff, 1.0 / jnp.maximum(eta0, tiny))
+    a_p = jnp.broadcast_to(a_p, ref.shape + (a_p.shape[-1],))
+    b_p = jnp.broadcast_to(b_p, ref.shape + (b_p.shape[-1],))
+    if phase_ratios is None:
+        return a_p[..., 0], b_p[..., 0]
+    A_cell = jnp.sum(phase_ratios * a_p, axis=-1)
+    B_cell = jnp.sum(phase_ratios * b_p, axis=-1)
+    idx = jnp.argmax(phase_ratios, axis=-1)[..., None]
+    dominant = jnp.max(phase_ratios, axis=-1) > 0.999
+    a_dom = jnp.take_along_axis(a_p, idx, axis=-1)[..., 0]
+    b_dom = jnp.take_along_axis(b_p, idx, axis=-1)[..., 0]
+    return (
+        jnp.where(dominant, a_dom, A_cell),
+        jnp.where(dominant, b_dom, B_cell),
+    )
 
 
 def correct_phase_ratio(phase_ratios: Array, air_phase: int) -> Array:

@@ -64,6 +64,7 @@ def solve_vep(
     """Public entry. ``use_pallas`` support checks need concrete material
     leaves, so they run here (outside jit); the solve itself is
     :func:`_solve_vep`."""
+    pallas_visc_m = None
     if use_pallas and pallas_has_cap is None:
         import numpy as _np
 
@@ -73,27 +74,35 @@ def solve_vep(
             vep_vmem_bytes_needed,
         )
         from justrelax_tpu.rheology.materials import _as_stack
+        from justrelax_tpu.rheology.viscosity import shared_powerlaw_exponent
 
         if not vep_chunk_supported(
             material, geometry, flow_bc, kwargs.get("free_surface", False)
         ):
             raise ValueError(
-                "use_pallas requires linear creep, constant density, a "
-                "uniform grid, all-free-slip BCs and no free-surface term"
+                "use_pallas requires a linear or shared-exponent power-law "
+                "creep table, constant density, a uniform grid, free-slip/"
+                "no-slip BCs on every face and no free-surface term"
             )
+        p = _as_stack(material).params
+        linear = not any(
+            _np.any(_np.asarray(getattr(p, a)) > 0)
+            for a in ("disl_A", "diff_A", "peierls_A", "gbs_A")
+        )
+        pallas_visc_m = None if linear else shared_powerlaw_exponent(material)
         nx, ny = stokes.P.shape
-        if vep_vmem_bytes_needed(nx, ny) > VEP_VMEM_BUDGET:
+        need = vep_vmem_bytes_needed(nx, ny, nonlinear=not linear)
+        if need > VEP_VMEM_BUDGET:
             raise ValueError(
                 f"grid {nx}x{ny} exceeds the VEP VMEM chunk budget "
-                f"({vep_vmem_bytes_needed(nx, ny)} > {VEP_VMEM_BUDGET} B)"
+                f"({need} > {VEP_VMEM_BUDGET} B)"
             )
-        pallas_has_cap = bool(
-            _np.any(_np.asarray(_as_stack(material).params.tension_pT) != 0)
-        )
+        pallas_has_cap = bool(_np.any(_np.asarray(p.tension_pT) != 0))
     return _solve_vep(
         stokes, pt_stokes, geometry, flow_bc, material,
         phase_ratios_center, phase_ratios_vertex, dt, T=T,
         use_pallas=use_pallas, pallas_has_cap=bool(pallas_has_cap or False),
+        pallas_visc_m=pallas_visc_m,
         **kwargs,
     )
 
@@ -112,6 +121,7 @@ def solve_vep(
         "viscosity_cutoff",
         "use_pallas",
         "pallas_has_cap",
+        "pallas_visc_m",
     ),
 )
 def _solve_vep(
@@ -133,13 +143,16 @@ def _solve_vep(
     viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
     use_pallas: bool = False,
     pallas_has_cap: bool = False,
+    pallas_visc_m=None,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """``use_pallas=True`` runs each chunk's first ``nout-1`` iterations
     inside the VMEM-resident Pallas VEP kernel (ops/pallas_stokes_vep.py,
     1.7x the XLA iteration on v5e) and the chunk's last iteration on the
     XLA path so every diagnostic (tau_II, eta_vep, eps_pl, RP) is produced
-    with identical semantics. Requires linear creep, constant density, a
-    uniform grid, all-free-slip BCs and a VMEM-resident grid."""
+    with identical semantics. Requires a linear or shared-exponent
+    power-law creep table (``pallas_visc_m`` = n − 1, static), constant
+    density, a uniform grid, free-slip/no-slip faces and a VMEM-resident
+    grid."""
     nx, ny = stokes.P.shape
     if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
         # same kernel families as the VE solver (reference
@@ -295,6 +308,7 @@ def _solve_vep(
                 viscosity_cutoff, nout=nout_i - 1,
                 interpret=jax.default_backend() != "tpu",
                 has_cap=pallas_has_cap,
+                flow_bc=flow_bc, T_v=T_vertex, visc_m=pallas_visc_m,
             )
             c = c._replace(
                 Vx=out[0], Vy=out[1], theta=out[2], P=out[3], txx=out[4],

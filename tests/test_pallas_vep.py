@@ -60,7 +60,8 @@ def _setup(n, dilation=10.0):
 
 
 def _xla_loop(NIT, n, ni, geometry, material, pr_c, pr_v, bc, st, Vx0, Vy0,
-              pt, tau_o, EII, rel_lambda, relax_v, cutoff, dt):
+              pt, tau_o, EII, rel_lambda, relax_v, cutoff, dt,
+              T=None, T_v=None):
     inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
     r, theta_dtau, etadtau = pt.r, pt.theta_dtau, pt.etadtau
     K_c = get_bulk_modulus(material, pr_c)
@@ -89,8 +90,8 @@ def _xla_loop(NIT, n, ni, geometry, material, pr_c, pr_v, bc, st, Vx0, Vy0,
         etaN, etavN = compute_viscosity_fields(
             s["eta"], s["eta_v"], material, res.txx, res.tyy, res.txy_c,
             jnp.zeros_like(s["eta_v"]), jnp.zeros_like(s["eta_v"]),
-            res.txy_v, pr_c, pr_v, mode="tau", relaxation=relax_v,
-            cutoff=cutoff)
+            res.txy_v, pr_c, pr_v, T=T, T_v=T_v, mode="tau",
+            relaxation=relax_v, cutoff=cutoff)
         Vxn, Vyn = kernels.compute_V(
             s["Vx"], s["Vy"], res.P_corrected, res.txx, res.tyy, res.txy_v,
             etadtau, jnp.zeros(ni, f), jnp.zeros(ni, f), eta_tau,
@@ -160,15 +161,203 @@ def test_solve_vep_use_pallas_dispatch():
         np.asarray(s_pal.V.Vx), np.asarray(s_ref.V.Vx), atol=2e-6)
 
 
+@pytest.mark.slow
+def test_solve_vep_use_pallas_dispatch_powerlaw_noslip():
+    """solve_vep(use_pallas=True) reproduces the XLA solve with both new
+    chunk capabilities active at once: no-slip top/bot walls and the
+    collapsed power-law creep table with a T field.
+
+    This configuration's PT iteration is physically divergent (the residual
+    grows), so ulp-level path differences amplify ~100× per 200 iterations —
+    the assertion window stops at 400 iterations where genuine path
+    equivalence (1e-11 observed) is still distinguishable from a wrong
+    kernel (1e-3+). Chunk-level equivalence of the same combination is
+    pinned tightly in test_vep_chunk_matches_xla_{noslip,powerlaw}."""
+    from justrelax_tpu.solvers.stokes2d_vep import solve_vep
+
+    n = 24
+    ni, geometry, _, pr_c, pr_v, _, st, Vx0, Vy0, pt = _setup(
+        n, dilation=0.0)
+    material = _powerlaw_material(dilation=0.0)
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True),
+        no_slip=Faces(top=True, bot=True))
+    Vx0, Vy0 = flow_bcs((Vx0, Vy0), bc)
+    st = st.replace(V=st.V.replace(Vx=Vx0, Vy=Vy0))
+    f = st.P.dtype
+    xc = jnp.asarray(geometry.xci[0], f)
+    T = 300.0 + 50.0 * jnp.sin(
+        2.0 * jnp.pi * xc[:, None]) * jnp.ones((1, n), f)
+    kw = dict(iter_max=400, iter_min=400, nout=100)
+    s_ref, info_ref = solve_vep(
+        st, pt, geometry, bc, material, pr_c, pr_v, 0.25, T=T, **kw)
+    s_pal, info_pal = solve_vep(
+        st, pt, geometry, bc, material, pr_c, pr_v, 0.25, T=T,
+        use_pallas=True, **kw)
+    assert int(info_pal.iters) == int(info_ref.iters)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.tau.II), np.asarray(s_ref.tau.II), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.P), np.asarray(s_ref.P), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.V.Vx), np.asarray(s_ref.V.Vx), atol=1e-9)
+
+
 def test_vep_chunk_dispatch_guards():
     """Unsupported configurations raise instead of silently degrading."""
     from justrelax_tpu.solvers.stokes2d_vep import solve_vep
 
     n = 16
     ni, geometry, material, pr_c, pr_v, bc, st, Vx0, Vy0, pt = _setup(n)
+    # a face with neither free-slip nor no-slip
     bad_bc = VelocityBoundaryConditions(
-        free_slip=Faces(left=True, right=True, top=True),
-        no_slip=Faces(bot=True))
+        free_slip=Faces(left=True, right=True, top=True))
     with pytest.raises(ValueError):
         solve_vep(st, pt, geometry, bad_bc, material, pr_c, pr_v, 0.25,
                   use_pallas=True, iter_max=100, nout=50)
+    # a creep table that does not collapse (Peierls mechanism)
+    C = 1.6 / math.cos(math.radians(30.0))
+    common = dict(rho0=0.0, Kb=5.0, is_plastic=1.0, C=C,
+                  friction_angle=30.0, dilation_angle=10.0, eta_reg=1e-2)
+    bad_mat = MaterialStack.make([
+        Material(G=1.0, peierls_A=1.0, peierls_n=2.0, peierls_E=1e3,
+                 peierls_tauP=10.0, **common),
+        Material(G=0.5, eta0=1.0, **common)])
+    with pytest.raises(ValueError):
+        solve_vep(st, pt, geometry, bc, bad_mat, pr_c, pr_v, 0.25,
+                  use_pallas=True, iter_max=100, nout=50)
+    # mixed dislocation exponents do not collapse either
+    mixed = MaterialStack.make([
+        Material(G=1.0, disl_A=0.5, disl_n=3.0, **common),
+        Material(G=0.5, disl_A=0.5, disl_n=2.0, **common)])
+    with pytest.raises(ValueError):
+        solve_vep(st, pt, geometry, bc, mixed, pr_c, pr_v, 0.25,
+                  use_pallas=True, iter_max=100, nout=50)
+
+
+def _powerlaw_material(dilation=10.0):
+    """Two phases: shared-n dislocation creep and a diffusion-creep phase —
+    the collapsible nonlinear table (1/η = A + B·τII²)."""
+    C = 1.6 / math.cos(math.radians(30.0))
+    common = dict(rho0=0.0, Kb=5.0, is_plastic=1.0, C=C,
+                  friction_angle=30.0, dilation_angle=dilation, eta_reg=1e-2)
+    return MaterialStack.make([
+        Material(G=1.0, disl_A=0.4, disl_n=3.0, disl_E=1.0e3, **common),
+        Material(G=0.5, diff_A=0.3, diff_m=1.0, grain_size=0.5,
+                 diff_E=5.0e2, **common)])
+
+
+def test_shared_powerlaw_exponent():
+    from justrelax_tpu.rheology.viscosity import shared_powerlaw_exponent
+
+    assert shared_powerlaw_exponent(_powerlaw_material()) == 2.0
+    common = dict(rho0=0.0, Kb=5.0)
+    lin = MaterialStack.make([Material(G=1.0, eta0=2.0, **common)])
+    assert shared_powerlaw_exponent(lin) is None  # pure linear: table path
+    diff_only = MaterialStack.make(
+        [Material(G=1.0, diff_A=0.3, **common), Material(G=1.0, **common)])
+    assert shared_powerlaw_exponent(diff_only) == 0.0
+    gbs = MaterialStack.make(
+        [Material(G=1.0, gbs_A=1.0, gbs_n=2.0, **common)])
+    assert shared_powerlaw_exponent(gbs) is None
+
+
+def test_powerlaw_recip_coeffs_match_phase_viscosity():
+    """The collapsed (A, B) canvases reproduce phase_viscosity's tau-mode
+    harmonic blend (incl. the >0.999 dominant-phase exit) at any stress."""
+    from justrelax_tpu.rheology.viscosity import (
+        phase_viscosity,
+        powerlaw_recip_coeffs,
+        shared_powerlaw_exponent,
+    )
+
+    material = _powerlaw_material()
+    rng = np.random.default_rng(0)
+    ni = (6, 5)
+    r0 = rng.uniform(0.0, 1.0, ni)
+    r0[0, 0] = 0.9995  # exercise the dominant-phase early exit
+    ratios = jnp.asarray(np.stack([r0, 1.0 - r0], axis=-1))
+    T = jnp.asarray(250.0 + 100.0 * rng.uniform(size=ni))
+    m = shared_powerlaw_exponent(material)
+    A, B = powerlaw_recip_coeffs(material, jnp.ones(ni), T, ratios)
+    for tau in (1.0e-3, 0.7, 13.0):
+        eta_ref = phase_viscosity(
+            material, jnp.full(ni, tau), T, ratios, "tau")
+        eta_col = 1.0 / (A + B * tau**m)
+        np.testing.assert_allclose(
+            np.asarray(eta_col), np.asarray(eta_ref), rtol=1e-12)
+
+
+@pytest.mark.parametrize("NIT,tol", [(1, 1e-15), (40, 2e-6)])
+def test_vep_chunk_matches_xla_noslip(NIT, tol):
+    """Per-side no-slip (negative-mirror ghosts, face zeroing, the
+    reference's bottom-row Vx/3 smoothing) runs in-kernel and matches the
+    XLA path (ops/bc.py::_no_slip_velocity_2d)."""
+    n = 24
+    ni, geometry, material, pr_c, pr_v, _, st, Vx0, Vy0, pt = _setup(n)
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True),
+        no_slip=Faces(top=True, bot=True))
+    Vx0, Vy0 = flow_bcs((Vx0, Vy0), bc)
+    f = st.P.dtype
+    txx_o = jnp.full(ni, 1.6, f)
+    tau_o = (txx_o, -txx_o, jnp.full(ni, 1.0, f),
+             jnp.full((n + 1, n + 1), 1.0, f))
+    EII = st.EII_pl + 0.001
+    dt = 0.25
+    cutoff = (1e-3, 1e3)
+    s, eta0, etav0 = _xla_loop(
+        NIT, n, ni, geometry, material, pr_c, pr_v, bc, st, Vx0, Vy0, pt,
+        tau_o, EII, 0.2, 0.5, cutoff, dt)
+    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    out = stokes_vep_chunk_vmem(
+        Vx0, Vy0, st.P, st.P, tau_o[0], tau_o[1], tau_o[2], tau_o[3],
+        eta0, etav0, jnp.zeros(ni, f), jnp.zeros((n + 1, n + 1), f),
+        st.P, st.Q, *tau_o, EII, material, pr_c, pr_v, None,
+        dt, inv_dx, inv_dy, pt.r, pt.theta_dtau, pt.etadtau,
+        0.2, 0.5, cutoff, nout=NIT, interpret=True, flow_bc=bc)
+    names = ["Vx", "Vy", "theta", "P", "txx", "tyy", "txy_c", "txy_v",
+             "eta", "eta_v", "lam", "lam_v"]
+    assert float(s["lam"].max()) > 0.1
+    for nm, a in zip(names, out):
+        d = float(jnp.abs(a - s[nm]).max())
+        assert d <= tol, f"{nm}: {d} > {tol}"
+
+
+@pytest.mark.parametrize("NIT,tol", [(1, 1e-12), (40, 5e-6)])
+def test_vep_chunk_matches_xla_powerlaw(NIT, tol):
+    """The collapsed tau-mode power-law continuation (1/η = A + B·τII^m
+    chunk-invariant canvases, T-dependent Arrhenius) matches
+    compute_viscosity_fields' full per-phase blend inside the solve loop."""
+    n = 24
+    ni, geometry, _, pr_c, pr_v, bc, st, Vx0, Vy0, pt = _setup(n)
+    material = _powerlaw_material()
+    f = st.P.dtype
+    xc = jnp.asarray(geometry.xci[0], f)
+    T = 300.0 + 50.0 * jnp.sin(
+        2.0 * jnp.pi * xc[:, None]) * jnp.ones((1, n), f)
+    from justrelax_tpu.ops.stencil import av_vertex_to_center
+
+    T_v = av_vertex_to_center(jnp.pad(T, 1, mode="edge"))
+    txx_o = jnp.full(ni, 1.6, f)
+    tau_o = (txx_o, -txx_o, jnp.full(ni, 1.0, f),
+             jnp.full((n + 1, n + 1), 1.0, f))
+    EII = st.EII_pl + 0.001
+    dt = 0.25
+    cutoff = (1e-3, 1e3)
+    s, eta0, etav0 = _xla_loop(
+        NIT, n, ni, geometry, material, pr_c, pr_v, bc, st, Vx0, Vy0, pt,
+        tau_o, EII, 0.2, 0.5, cutoff, dt, T=T, T_v=T_v)
+    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    out = stokes_vep_chunk_vmem(
+        Vx0, Vy0, st.P, st.P, tau_o[0], tau_o[1], tau_o[2], tau_o[3],
+        eta0, etav0, jnp.zeros(ni, f), jnp.zeros((n + 1, n + 1), f),
+        st.P, st.Q, *tau_o, EII, material, pr_c, pr_v, T,
+        dt, inv_dx, inv_dy, pt.r, pt.theta_dtau, pt.etadtau,
+        0.2, 0.5, cutoff, nout=NIT, interpret=True, T_v=T_v)
+    names = ["Vx", "Vy", "theta", "P", "txx", "tyy", "txy_c", "txy_v",
+             "eta", "eta_v", "lam", "lam_v"]
+    assert float(s["lam"].max()) > 0.1
+    for nm, a in zip(names, out):
+        d = float(jnp.abs(a - s[nm]).max())
+        assert d <= tol, f"{nm}: {d} > {tol}"
