@@ -184,7 +184,7 @@ def run_goldens(level="default"):
 DEFAULT_FAMILIES = (
     "ve2d,vep2d,thermal2d,ve3d,ve3d_canvas,vep3d,"
     "pallas_ve2d,pallas_ve2d_blocked,pallas_ve3d_blocked,"
-    "pallas_vep2d,pallas_thermal2d"
+    "pallas_vep2d,pallas_vep2d_blocked,pallas_thermal2d"
 )
 
 

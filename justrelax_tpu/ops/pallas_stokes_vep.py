@@ -65,8 +65,10 @@ Array = Any
 
 __all__ = [
     "stokes_vep_chunk_vmem",
+    "stokes_vep_chunk_blocked",
     "vep_vmem_bytes_needed",
     "vep_chunk_supported",
+    "choose_blocking_vep",
     "VEP_VMEM_BUDGET",
 ]
 
@@ -91,22 +93,23 @@ def _sp1(A, ax):
     return jnp.roll(A, 1, axis=ax)
 
 
-def _band(shape, axis, lo, hi):
-    i = lax.broadcasted_iota(jnp.int32, shape, axis)
+def _band(shape, axis, lo, hi, offset=0):
+    i = lax.broadcasted_iota(jnp.int32, shape, axis) + offset
     return (i >= lo) & (i <= hi)
 
 
-def _ring(C, nx, ny):
+def _ring(C, nx, ny, x_off=0):
     """Refresh the edge-replicated ghost ring of a cell canvas (cells live at
-    1..nx, 1..ny). Column ring first, then row ring (corners = interior
-    corner value, matching ``expand_edges``)."""
+    1..nx, 1..ny in GLOBAL rows; ``x_off`` maps local window rows to global —
+    0 for the resident full canvas). Column ring first, then row ring
+    (corners = interior corner value, matching ``expand_edges``)."""
     shape = C.shape
     c0 = _band(shape, 1, 0, 0)
     c1 = _band(shape, 1, ny + 1, ny + 1)
     C = jnp.where(c0, _sm1(C, 1), C)
     C = jnp.where(c1, _sp1(C, 1), C)
-    r0 = _band(shape, 0, 0, 0)
-    r1 = _band(shape, 0, nx + 1, nx + 1)
+    r0 = _band(shape, 0, 0, 0, offset=x_off)
+    r1 = _band(shape, 0, nx + 1, nx + 1, offset=x_off)
     C = jnp.where(r0, _sm1(C, 0), C)
     C = jnp.where(r1, _sp1(C, 0), C)
     return C
@@ -178,39 +181,39 @@ def _plastic_step(tau_II_t, P, ipl, Ccos, sinphi, sinpsi, pT, etareg, scale,
     return yielding, lam_new, dQdP
 
 
-def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
-            txyv_ref, eta_ref, etav_ref, lam_ref, lamv_ref,
-            cinv_ref, vinv_ref, scal_ref, nit_ref,
-            Vx_o, Vy_o, th_o, pc_o, txx_o_ref, tyy_o_ref, txyc_o,
-            txyv_o, eta_o, etav_o, lam_o, lamv_o,
-            *, nx, ny, has_cap, cnames=_CINV, vnames=_VINV,
-            bc_modes=("free_slip",) * 4, visc_m=None):
-    shape = th_ref.shape
-    ci = {k: cinv_ref[i] for i, k in enumerate(cnames)}
-    vi = {k: vinv_ref[i] for i, k in enumerate(vnames)}
-
-    inv_dx = scal_ref[0]
-    inv_dy = scal_ref[1]
-    etadtau = scal_ref[2]
-    r_pt = scal_ref[3]
-    theta_dtau = scal_ref[4]
-    rel_lambda = scal_ref[5]
-    relax_v = scal_ref[6]
-    cut_lo = scal_ref[7]
-    cut_hi = scal_ref[8]
-    nout = nit_ref[0]
+def _vep_iteration(carry, ci, vi, sc, *, nx, ny, has_cap, bc_modes,
+                   visc_m, x_off=0):
+    """One fused VEP PT iteration on collocated canvases, shared by the
+    VMEM-resident kernel (``x_off=0``) and the grid-blocked streaming kernel
+    (``x_off`` = traced global row of the window's first local row). All
+    axis-0 ownership bands and the ghost-ring row refresh are evaluated in
+    global coordinates, so a window sees exactly the updates the full-canvas
+    kernel applies to those rows."""
+    (Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v,
+     lam, lam_v) = carry
+    shape = theta.shape
+    inv_dx = sc["inv_dx"]
+    inv_dy = sc["inv_dy"]
+    etadtau = sc["etadtau"]
+    r_pt = sc["r_pt"]
+    theta_dtau = sc["theta_dtau"]
+    rel_lambda = sc["rel_lambda"]
+    relax_v = sc["relax_v"]
+    cut_lo = sc["cut_lo"]
+    cut_hi = sc["cut_hi"]
     third = 1.0 / 3.0
 
-    def body(_, carry):
-        (Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v,
-         lam, lam_v) = carry
-        Mc = _band(shape, 0, 1, nx) & _band(shape, 1, 1, ny)
-        Mv = _band(shape, 0, 0, nx) & _band(shape, 1, 0, ny)  # ALL vertices
-        MVx = _band(shape, 0, 1, nx - 1) & _band(shape, 1, 1, ny)
-        MVy = _band(shape, 0, 1, nx) & _band(shape, 1, 1, ny - 1)
+    def xband(lo, hi):
+        return _band(shape, 0, lo, hi, offset=x_off)
+
+    if True:  # keep the body's indentation stable for review
+        Mc = xband(1, nx) & _band(shape, 1, 1, ny)
+        Mv = xband(0, nx) & _band(shape, 1, 0, ny)  # ALL vertices
+        MVx = xband(1, nx - 1) & _band(shape, 1, 1, ny)
+        MVy = xband(1, nx) & _band(shape, 1, 1, ny - 1)
 
         # maxloc preconditioner on the ring-clamped viscosity
-        etaR = _ring(eta, nx, ny)
+        etaR = _ring(eta, nx, ny, x_off)
         m0 = jnp.maximum(jnp.maximum(etaR, _sm1(etaR, 0)), _sp1(etaR, 0))
         etat = jnp.maximum(jnp.maximum(m0, _sm1(m0, 1)), _sp1(m0, 1))
 
@@ -232,11 +235,11 @@ def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
         exy = 0.5 * ((_sm1(Vx, 1) - Vx) * inv_dy + (_sm1(Vy, 0) - Vy) * inv_dx)
 
         # ghost rings for the clamped center->vertex averages
-        thetaR = _ring(theta, nx, ny)
-        exxR = _ring(jnp.where(Mc, exx, 0.0), nx, ny)
-        eyyR = _ring(jnp.where(Mc, eyy, 0.0), nx, ny)
-        txxR = _ring(txx, nx, ny)
-        tyyR = _ring(tyy, nx, ny)
+        thetaR = _ring(theta, nx, ny, x_off)
+        exxR = _ring(jnp.where(Mc, exx, 0.0), nx, ny, x_off)
+        eyyR = _ring(jnp.where(Mc, eyy, 0.0), nx, ny, x_off)
+        txxR = _ring(txx, nx, ny, x_off)
+        tyyR = _ring(tyy, nx, ny, x_off)
 
         # ---------- vertex pass ----------
         Pv = _avc2v(thetaR)
@@ -361,9 +364,9 @@ def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
         # order-insensitive at the corners).
         b_left, b_right, b_bot, b_top = bc_modes
         if b_left == "no_slip":
-            Vx = jnp.where(_band(shape, 0, 0, 0), 0.0, Vx)
+            Vx = jnp.where(xband(0, 0), 0.0, Vx)
         if b_right == "no_slip":
-            Vx = jnp.where(_band(shape, 0, nx, nx), 0.0, Vx)
+            Vx = jnp.where(xband(nx, nx), 0.0, Vx)
         if b_bot == "no_slip":
             Vy = jnp.where(_band(shape, 1, 0, 0), 0.0, Vy)
             Vx = jnp.where(_band(shape, 1, 1, 1),
@@ -371,10 +374,10 @@ def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
         if b_top == "no_slip":
             Vy = jnp.where(_band(shape, 1, ny, ny), 0.0, Vy)
 
-        gxl = _band(shape, 1, 0, 0) & _band(shape, 0, 0, nx)
-        gxr = _band(shape, 1, ny + 1, ny + 1) & _band(shape, 0, 0, nx)
-        gyl = _band(shape, 0, 0, 0) & _band(shape, 1, 0, ny)
-        gyr = _band(shape, 0, nx + 1, nx + 1) & _band(shape, 1, 0, ny)
+        gxl = _band(shape, 1, 0, 0) & xband(0, nx)
+        gxr = _band(shape, 1, ny + 1, ny + 1) & xband(0, nx)
+        gyl = xband(0, 0) & _band(shape, 1, 0, ny)
+        gyr = xband(nx + 1, nx + 1) & _band(shape, 1, 0, ny)
         sxl = -1.0 if b_bot == "no_slip" else 1.0
         sxr = -1.0 if b_top == "no_slip" else 1.0
         syl = -1.0 if b_left == "no_slip" else 1.0
@@ -385,6 +388,29 @@ def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
         Vy = jnp.where(gyr, syr * _sp1(Vy, 0), Vy)
         return (Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v,
                 lam, lam_v)
+
+
+_SCAL = ("inv_dx", "inv_dy", "etadtau", "r_pt", "theta_dtau", "rel_lambda",
+         "relax_v", "cut_lo", "cut_hi")
+
+
+def _kernel(Vx_ref, Vy_ref, th_ref, pc_ref, txx_ref, tyy_ref, txyc_ref,
+            txyv_ref, eta_ref, etav_ref, lam_ref, lamv_ref,
+            cinv_ref, vinv_ref, scal_ref, nit_ref,
+            Vx_o, Vy_o, th_o, pc_o, txx_o_ref, tyy_o_ref, txyc_o,
+            txyv_o, eta_o, etav_o, lam_o, lamv_o,
+            *, nx, ny, has_cap, cnames=_CINV, vnames=_VINV,
+            bc_modes=("free_slip",) * 4, visc_m=None):
+    ci = {k: cinv_ref[i] for i, k in enumerate(cnames)}
+    vi = {k: vinv_ref[i] for i, k in enumerate(vnames)}
+    sc = {k: scal_ref[i] for i, k in enumerate(_SCAL)}
+    nout = nit_ref[0]
+
+    def body(_, carry):
+        return _vep_iteration(
+            carry, ci, vi, sc, nx=nx, ny=ny, has_cap=has_cap,
+            bc_modes=bc_modes, visc_m=visc_m,
+        )
 
     out = lax.fori_loop(0, nout, body, (
         Vx_ref[:], Vy_ref[:], th_ref[:], pc_ref[:], txx_ref[:], tyy_ref[:],
@@ -467,6 +493,54 @@ def stokes_vep_chunk_vmem(
     under a jit trace, as solve_vep does)."""
     nx, ny = theta.shape
     shape = (nx + 2, ny + 2)
+    dtype = theta.dtype
+    (canv, cinv, vinv, cnames, vnames, scal, bc_modes, visc_m,
+     has_cap) = _vep_prepare(
+        Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v, lam, lam_v,
+        P0, Q, txx_o, tyy_o, txy_c_o, txy_v_o, EII_pl,
+        material, phase_ratios_center, phase_ratios_vertex, T,
+        dt, inv_dx, inv_dy, r, theta_dtau, etadtau,
+        rel_lambda, viscosity_relaxation, viscosity_cutoff,
+        has_cap, flow_bc, T_v, visc_m,
+    )
+    nit = jnp.asarray(nout, jnp.int32).reshape(1)
+    kern = partial(_kernel, nx=nx, ny=ny, has_cap=bool(has_cap),
+                   cnames=cnames, vnames=vnames, bc_modes=bc_modes,
+                   visc_m=None if visc_m is None else float(visc_m))
+    out_shape = tuple(jax.ShapeDtypeStruct(shape, dtype) for _ in range(12))
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    o = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=[vspec] * 14 + [sspec, sspec],
+        out_specs=(vspec,) * 12,
+        input_output_aliases={i: i for i in range(12)},
+        compiler_params=params,
+        interpret=interpret,
+    )(*canv, cinv, vinv, scal, nit)
+    return (
+        o[0][:-1, :], o[1][:, :-1],
+        o[2][1:-1, 1:-1], o[3][1:-1, 1:-1], o[4][1:-1, 1:-1],
+        o[5][1:-1, 1:-1], o[6][1:-1, 1:-1],
+        o[7][:-1, :-1], o[8][1:-1, 1:-1], o[9][:-1, :-1],
+        o[10][1:-1, 1:-1], o[11][:-1, :-1],
+    )
+
+
+def _vep_prepare(
+    Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v, lam, lam_v,
+    P0, Q, txx_o, tyy_o, txy_c_o, txy_v_o, EII_pl,
+    material, phase_ratios_center, phase_ratios_vertex, T,
+    dt, inv_dx, inv_dy, r, theta_dtau, etadtau,
+    rel_lambda, viscosity_relaxation, viscosity_cutoff,
+    has_cap, flow_bc, T_v, visc_m,
+):
+    """Shared precompute of the VEP chunk kernels: the 12 carry canvases,
+    the chunk-invariant cell/vertex stacks (+ slot names), the SMEM scalar
+    vector and the resolved static flags (bc_modes, visc_m, has_cap)."""
+    nx, ny = theta.shape
     dtype = theta.dtype
 
     if visc_m == "auto":
@@ -587,15 +661,12 @@ def stokes_vep_chunk_vmem(
             viscosity_relaxation, lo, hi,
         )
     ])
-    nit = jnp.asarray(nout, jnp.int32).reshape(1)
-
     canv = (
         jnp.pad(Vx, ((0, 1), (0, 0))),
         jnp.pad(Vy, ((0, 0), (0, 1))),
         cell(theta), cell(P_c), cell(txx), cell(tyy), cell(txy_c),
         vert(txy_v), cell(eta, "edge"), vert(eta_v),
         cell(lam), vert(lam_v),
-        cinv, vinv,
     )
     # static cap specialization from the material table. Under a jit trace
     # the material leaves are tracers — the caller must then pass has_cap
@@ -605,22 +676,231 @@ def stokes_vep_chunk_vmem(
         has_cap = bool(
             _np.any(_np.asarray(_as_stack(material).params.tension_pT) != 0)
         )
-    kern = partial(_kernel, nx=nx, ny=ny, has_cap=bool(has_cap),
-                   cnames=cnames, vnames=vnames, bc_modes=bc_modes,
-                   visc_m=None if visc_m is None else float(visc_m))
-    out_shape = tuple(jax.ShapeDtypeStruct(shape, dtype) for _ in range(12))
-    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    o = pl.pallas_call(
+    return (canv, cinv, vinv, cnames, vnames, scal, bc_modes, visc_m,
+            has_cap)
+
+
+# ===========================================================================
+# Grid-blocked temporally-blocked VEP chunk (HBM-resident grids)
+# ===========================================================================
+#
+# Same streaming scheme as ops/pallas_stokes.py::stokes_chunk_blocked: the
+# grid is strip-mined over row-blocks, each pass advances the whole grid by
+# ``k`` iterations, and each block loads a (R + 4k)-row window, runs the k
+# iterations in VMEM and stores its R owned rows. The fused VEP iteration's
+# x-stencil radius is 2 per iteration — the vertex center→vertex average
+# reads rows v..v+1 of cell fields that read V rows v−1..v+1, and the
+# velocity update reads the *new* τ at rows f..f+1 (V_old f−1..f+2) and the
+# *new* τxy_v at f−1..f (V_old f−2..f+1) — so a 2k-row halo per side keeps
+# the owned rows exactly equal to the full-canvas result (asserted in
+# tests/test_pallas_vep_blocked.py). HBM traffic per iteration:
+# ((12 + n_const)·W/R + 12)/k canvas-equivalents vs the XLA streaming
+# path's ~30.
+
+_N_CARRY_VEP = 12
+
+
+def choose_blocking_vep(nx, ny, n_const, itemsize=4, row_block=None,
+                        iters_per_pass=None, budget=86 * 1024 * 1024,
+                        n_slots=2):
+    """Pick (R, k, n_blocks, A_pad, W) for the blocked VEP chunk.
+
+    Same invariants as the VE/3D variants: R a multiple of 8, R ≥ 2H so the
+    store offset is provably in {0, H, 2H}, H = 2k a multiple of 8 so the
+    dynamic window start is sublane-tile aligned. The VMEM model counts the
+    ``n_slots``-buffered scratch windows ((12 + n_const)·W each), the
+    pipelined output block (12·R) and ~60 in-flight value canvases of W rows
+    (the VEP body holds far more live temporaries than the VE one).
+    Returns None if nothing fits."""
+    A = nx + 2
+    b_pad = -((ny + 2) // -128) * 128
+    ks = [iters_per_pass] if iters_per_pass else [8, 4]
+    r_targets = [row_block] if row_block else [256, 192, 128, 96, 64, 48, 32]
+    for k in ks:
+        H = 2 * k
+        for r_t in r_targets:
+            if r_t < 2 * H:
+                continue
+            n_blocks = -(A // -r_t)
+            if n_blocks < 2:
+                continue
+            R = -((-(A // -n_blocks)) // -8) * 8
+            if R < 2 * H:
+                continue
+            A_pad = R * n_blocks
+            W = R + 2 * H
+            if A_pad < W:
+                continue
+            vmem = (
+                n_slots * (_N_CARRY_VEP + n_const) * W
+                + _N_CARRY_VEP * R + 60 * W
+            ) * b_pad * itemsize
+            if vmem <= budget:
+                return R, k, n_blocks, A_pad, W
+    return None
+
+
+def _blocked_kernel_vep(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
+                        scr_c, scr_k, sem_c, sem_k,
+                        *, nx, ny, R, H, W, A_pad, n_blocks, n_slots,
+                        has_cap, bc_modes, visc_m, cnames, vnames, pipeline):
+    i = pl.program_id(0)
+    sc = {k: scal_ref[j] for j, k in enumerate(_SCAL)}
+    k_act = nit_ref[0]
+
+    def wstart(b):
+        import math as _math
+
+        return pl.multiple_of(
+            jnp.clip(b * R - H, 0, A_pad - W), _math.gcd(R, H)
+        )
+
+    def dma_c(slot, b):
+        return pltpu.make_async_copy(
+            carry_hbm.at[:, pl.ds(wstart(b), W)], scr_c.at[slot],
+            sem_c.at[slot]
+        )
+
+    def dma_k(slot, b):
+        return pltpu.make_async_copy(
+            const_hbm.at[:, pl.ds(wstart(b), W)], scr_k.at[slot],
+            sem_k.at[slot]
+        )
+
+    if pipeline:
+        @pl.when(i == 0)
+        def _():
+            dma_c(0, 0).start()
+            dma_k(0, 0).start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            nxt = (i + 1) % n_slots
+            dma_c(nxt, i + 1).start()
+            dma_k(nxt, i + 1).start()
+
+        slot = i % n_slots
+    else:
+        slot = 0
+        dma_c(0, i).start()
+        dma_k(0, i).start()
+    dma_c(slot, i).wait()
+    dma_k(slot, i).wait()
+
+    start = wstart(i)
+    carry = tuple(scr_c[slot, j] for j in range(_N_CARRY_VEP))
+    ci = {name: scr_k[slot, j] for j, name in enumerate(cnames)}
+    vi = {name: scr_k[slot, len(cnames) + j]
+          for j, name in enumerate(vnames)}
+
+    def body(_, c):
+        return _vep_iteration(
+            c, ci, vi, sc, nx=nx, ny=ny, has_cap=has_cap,
+            bc_modes=bc_modes, visc_m=visc_m, x_off=start,
+        )
+
+    out = lax.fori_loop(0, k_act, body, carry)
+
+    off = i * R - start
+    for o_val in (0, H, 2 * H):
+        @pl.when(off == o_val)
+        def _(out=out, o_val=o_val):
+            for j in range(_N_CARRY_VEP):
+                out_ref[j] = out[j][o_val:o_val + R]
+
+
+def stokes_vep_chunk_blocked(
+    Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v, lam, lam_v,
+    P0, Q, txx_o, tyy_o, txy_c_o, txy_v_o, EII_pl,
+    material, phase_ratios_center, phase_ratios_vertex,
+    T,
+    dt, inv_dx, inv_dy, r, theta_dtau, etadtau,
+    rel_lambda, viscosity_relaxation, viscosity_cutoff,
+    nout: int = 100, interpret: bool = False, has_cap=None,
+    flow_bc=None, T_v=None, visc_m="auto",
+    row_block=None, iters_per_pass=None, pipeline: bool = True,
+):
+    """Advance ``nout`` fused VEP PT iterations via temporally-blocked row
+    streaming — same contract, physics coverage and restrictions as
+    :func:`stokes_vep_chunk_vmem`, for grids past VMEM residency (1024²+).
+    ``nout`` may be traced; passes of ``iters_per_pass`` (default 8)
+    iterations each stream the grid through VMEM until ``nout`` iterations
+    have been applied. ``pipeline=False`` disables cross-block DMA
+    double-buffering (interpret-mode tests)."""
+    nx, ny = theta.shape
+    dtype = theta.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    (canv, cinv, vinv, cnames, vnames, scal, bc_modes, visc_m,
+     has_cap) = _vep_prepare(
+        Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v, lam, lam_v,
+        P0, Q, txx_o, tyy_o, txy_c_o, txy_v_o, EII_pl,
+        material, phase_ratios_center, phase_ratios_vertex, T,
+        dt, inv_dx, inv_dy, r, theta_dtau, etadtau,
+        rel_lambda, viscosity_relaxation, viscosity_cutoff,
+        has_cap, flow_bc, T_v, visc_m,
+    )
+    n_const = len(cnames) + len(vnames)
+    blocking = choose_blocking_vep(nx, ny, n_const, itemsize, row_block,
+                                   iters_per_pass,
+                                   n_slots=2 if pipeline else 1)
+    if blocking is None:
+        raise ValueError(
+            f"no blocked VEP configuration fits VMEM for {nx}x{ny}"
+        )
+    R, k, n_blocks, A_pad, W = blocking
+    H = 2 * k
+    A, B = nx + 2, ny + 2
+    B_pad = -(B // -128) * 128
+
+    const = jnp.concatenate([cinv, vinv])
+    const = jnp.pad(const, ((0, 0), (0, A_pad - A), (0, B_pad - B)))
+    carry0 = jnp.stack(list(canv))
+    carry0 = jnp.pad(carry0, ((0, 0), (0, A_pad - A), (0, B_pad - B)))
+
+    n_slots = 2 if pipeline else 1
+    kern = partial(
+        _blocked_kernel_vep, nx=nx, ny=ny, R=R, H=H, W=W, A_pad=A_pad,
+        n_blocks=n_blocks, n_slots=n_slots, has_cap=bool(has_cap),
+        bc_modes=bc_modes,
+        visc_m=None if visc_m is None else float(visc_m),
+        cnames=cnames, vnames=vnames, pipeline=pipeline,
+    )
+    call = pl.pallas_call(
         kern,
-        out_shape=out_shape,
-        in_specs=[vspec] * 14 + [sspec, sspec],
-        out_specs=(vspec,) * 12,
-        input_output_aliases={i: i for i in range(12)},
-        compiler_params=params,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (_N_CARRY_VEP, R, B_pad), lambda i, *_: (0, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_slots, _N_CARRY_VEP, W, B_pad), dtype),
+                pltpu.VMEM((n_slots, n_const, W, B_pad), dtype),
+                pltpu.SemaphoreType.DMA((n_slots,)),
+                pltpu.SemaphoreType.DMA((n_slots,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((_N_CARRY_VEP, A_pad, B_pad), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(*canv, scal, nit)
+    )
+
+    nout_t = jnp.asarray(nout, jnp.int32)
+    n_pass = (nout_t + k - 1) // k
+
+    def one_pass(p, cs):
+        k_act = jnp.minimum(k, nout_t - p * k).astype(jnp.int32)
+        return call(scal, k_act.reshape(1), cs, const)
+
+    o = lax.fori_loop(0, n_pass, one_pass, carry0)
+    o = o[:, :A, :B]
     return (
         o[0][:-1, :], o[1][:, :-1],
         o[2][1:-1, 1:-1], o[3][1:-1, 1:-1], o[4][1:-1, 1:-1],

@@ -65,11 +65,13 @@ def solve_vep(
     leaves, so they run here (outside jit); the solve itself is
     :func:`_solve_vep`."""
     pallas_visc_m = None
+    pallas_blocked = False
     if use_pallas and pallas_has_cap is None:
         import numpy as _np
 
         from justrelax_tpu.ops.pallas_stokes_vep import (
             VEP_VMEM_BUDGET,
+            choose_blocking_vep,
             vep_chunk_supported,
             vep_vmem_bytes_needed,
         )
@@ -91,18 +93,25 @@ def solve_vep(
         )
         pallas_visc_m = None if linear else shared_powerlaw_exponent(material)
         nx, ny = stokes.P.shape
-        need = vep_vmem_bytes_needed(nx, ny, nonlinear=not linear)
-        if need > VEP_VMEM_BUDGET:
+        itemsize = jnp.dtype(stokes.P.dtype).itemsize
+        n_const = 33 if not linear else 31
+        need = vep_vmem_bytes_needed(nx, ny, itemsize, nonlinear=not linear)
+        pallas_blocked = use_pallas == "blocked" or need > VEP_VMEM_BUDGET
+        if pallas_blocked and choose_blocking_vep(
+            nx, ny, n_const, itemsize
+        ) is None:
             raise ValueError(
                 f"grid {nx}x{ny} exceeds the VEP VMEM chunk budget "
-                f"({need} > {VEP_VMEM_BUDGET} B)"
+                f"({need} > {VEP_VMEM_BUDGET} B) and no blocked "
+                "configuration fits VMEM"
             )
         pallas_has_cap = bool(_np.any(_np.asarray(p.tension_pT) != 0))
     return _solve_vep(
         stokes, pt_stokes, geometry, flow_bc, material,
         phase_ratios_center, phase_ratios_vertex, dt, T=T,
-        use_pallas=use_pallas, pallas_has_cap=bool(pallas_has_cap or False),
-        pallas_visc_m=pallas_visc_m,
+        use_pallas=bool(use_pallas),
+        pallas_has_cap=bool(pallas_has_cap or False),
+        pallas_visc_m=pallas_visc_m, pallas_blocked=pallas_blocked,
         **kwargs,
     )
 
@@ -122,6 +131,7 @@ def solve_vep(
         "use_pallas",
         "pallas_has_cap",
         "pallas_visc_m",
+        "pallas_blocked",
     ),
 )
 def _solve_vep(
@@ -144,15 +154,19 @@ def _solve_vep(
     use_pallas: bool = False,
     pallas_has_cap: bool = False,
     pallas_visc_m=None,
+    pallas_blocked: bool = False,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """``use_pallas=True`` runs each chunk's first ``nout-1`` iterations
-    inside the VMEM-resident Pallas VEP kernel (ops/pallas_stokes_vep.py,
-    1.7x the XLA iteration on v5e) and the chunk's last iteration on the
-    XLA path so every diagnostic (tau_II, eta_vep, eps_pl, RP) is produced
-    with identical semantics. Requires a linear or shared-exponent
-    power-law creep table (``pallas_visc_m`` = n − 1, static), constant
-    density, a uniform grid, free-slip/no-slip faces and a VMEM-resident
-    grid."""
+    inside a Pallas VEP kernel (ops/pallas_stokes_vep.py, 1.7x the XLA
+    iteration on v5e) and the chunk's last iteration on the XLA path so
+    every diagnostic (tau_II, eta_vep, eps_pl, RP) is produced with
+    identical semantics. Dispatch by grid size: the VMEM-resident chunk
+    while the working set fits (~650² f32), the grid-blocked temporal
+    streaming kernel past that (row-blocks, 2k-row halos, k iterations per
+    VMEM pass); ``use_pallas="blocked"`` forces the latter (testing hook).
+    Requires a linear or shared-exponent power-law creep table
+    (``pallas_visc_m`` = n − 1, static), constant density, a uniform grid
+    and free-slip/no-slip faces."""
     nx, ny = stokes.P.shape
     if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
         # same kernel families as the VE solver (reference
@@ -295,10 +309,18 @@ def _solve_vep(
     def body(c: C):
         if use_pallas:
             from justrelax_tpu.ops.pallas_stokes_vep import (
+                stokes_vep_chunk_blocked,
                 stokes_vep_chunk_vmem,
             )
 
-            out = stokes_vep_chunk_vmem(
+            interp = jax.default_backend() != "tpu"
+            if pallas_blocked:
+                # cross-block scratch persistence is only guaranteed on HW
+                chunk_fn = partial(stokes_vep_chunk_blocked,
+                                   pipeline=not interp)
+            else:
+                chunk_fn = stokes_vep_chunk_vmem
+            out = chunk_fn(
                 c.Vx, c.Vy, c.theta, c.P, c.txx, c.tyy, c.txy_c, c.txy_v,
                 c.eta, c.eta_v, c.lam, c.lam_v,
                 P0, Q, txx_o, tyy_o, txy_c_o, txy_v_o, EII_pl,
@@ -306,7 +328,7 @@ def _solve_vep(
                 dt, inv_dx, inv_dy, pt_stokes.r, pt_stokes.theta_dtau,
                 pt_stokes.etadtau, lambda_relaxation, viscosity_relaxation,
                 viscosity_cutoff, nout=nout_i - 1,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interp,
                 has_cap=pallas_has_cap,
                 flow_bc=flow_bc, T_v=T_vertex, visc_m=pallas_visc_m,
             )

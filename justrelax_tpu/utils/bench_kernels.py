@@ -630,6 +630,70 @@ def pallas_vep2d(n=382, dtype=jnp.float32):
     return step, carry, consts, 39 * n_cells * 4, n_cells
 
 
+def pallas_vep2d_blocked(n=1024, dtype=jnp.float32):
+    """Grid-blocked temporally-blocked Pallas chunk of the FLAGSHIP VEP
+    iteration at production scale (ops/pallas_stokes_vep.py::
+    stokes_vep_chunk_blocked): row-blocks with 2k-row halos advance k
+    iterations per VMEM pass, extending the VMEM chunk's compute-roofline
+    win past VMEM residency. Same 39·N·4 B traffic convention as vep2d so
+    T_eff is comparable against the XLA streaming path at the same size."""
+    import math as _math
+
+    from justrelax_tpu.core.coeffs import PTStokesCoeffs
+    from justrelax_tpu.core.grid import Geometry
+    from justrelax_tpu.models.shearband import _circle_phase_ratios
+    from justrelax_tpu.ops.bc import (
+        Faces, VelocityBoundaryConditions, flow_bcs)
+    from justrelax_tpu.ops.pallas_stokes_vep import stokes_vep_chunk_blocked
+    from justrelax_tpu.rheology.materials import Material, MaterialStack
+    from justrelax_tpu.rheology.viscosity import phase_viscosity
+
+    ni = (n, n)
+    geometry = Geometry(ni, (1.0, 1.0))
+    xci, xvi = geometry.xci, geometry.xvi
+    C = 1.6 / _math.cos(_math.radians(30.0))
+    common = dict(rho0=0.0, Kb=5.0, eta0=1.0, is_plastic=1.0, C=C,
+                  friction_angle=30.0, dilation_angle=0.0, eta_reg=1e-2)
+    material = MaterialStack.make(
+        [Material(G=1.0, **common), Material(G=0.5, **common)])
+    pr_c = jnp.asarray(_circle_phase_ratios(xci[0], xci[1], (0.5, 0.5), 0.1), dtype)
+    pr_v = jnp.asarray(_circle_phase_ratios(xvi[0], xvi[1], (0.5, 0.5), 0.1), dtype)
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True))
+    xv = jnp.asarray(xvi[0], dtype)
+    yv = jnp.asarray(xvi[1], dtype)
+    Vx = jnp.broadcast_to(xv[:, None], (n + 1, n + 2)).astype(dtype)
+    Vy = jnp.broadcast_to((-yv)[None, :], (n + 2, n + 1)).astype(dtype)
+    Vx, Vy = flow_bcs((Vx, Vy), bc)
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di,
+                             CFL=0.75 / _math.sqrt(2.1))
+    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    Z = jnp.zeros(ni, dtype)
+    Zv = jnp.zeros((n + 1, n + 1), dtype)
+    txx_o = jnp.full(ni, 1.6, dtype)
+    tyy_o = -txx_o
+    txy_c_o = jnp.full(ni, 1.0, dtype)
+    txy_v_o = jnp.full((n + 1, n + 1), 1.0, dtype)
+    eta = phase_viscosity(material, jnp.ones(ni, dtype), None, pr_c, "tau").astype(dtype)
+    eta_v = phase_viscosity(material, jnp.ones((n + 1, n + 1), dtype), None, pr_v, "tau").astype(dtype)
+    scal = (0.25, inv_dx, inv_dy, float(pt.r), float(pt.theta_dtau),
+            float(pt.etadtau), 0.2, 1.0, (-jnp.inf, jnp.inf))
+
+    def step(n_iter, carry, consts):
+        (txx_o, tyy_o, txy_c_o, txy_v_o, eta, eta_v) = consts
+        return stokes_vep_chunk_blocked(
+            carry[0], carry[1], Z, Z, txx_o, tyy_o, txy_c_o, txy_v_o,
+            eta, eta_v, Z, Zv,
+            Z, Z, txx_o, tyy_o, txy_c_o, txy_v_o, Z,
+            material, pr_c, pr_v, None, *scal, nout=n_iter,
+        )
+
+    carry = (Vx, Vy)
+    consts = (txx_o, tyy_o, txy_c_o, txy_v_o, eta, eta_v)
+    n_cells = n * n
+    return step, carry, consts, 39 * n_cells * 4, n_cells
+
+
 def pallas_thermal2d(n=766, dtype=jnp.float32):
     """VMEM-resident Pallas chunk of the PT diffusion iteration
     (ops/pallas_thermal.py): flux relaxation + damped T update + ghost BCs
@@ -823,6 +887,7 @@ FAMILIES = {
     "pallas_ve2d_blocked": pallas_ve2d_blocked,
     "pallas_ve3d_blocked": pallas_ve3d_blocked,
     "pallas_vep2d": pallas_vep2d,
+    "pallas_vep2d_blocked": pallas_vep2d_blocked,
     "pallas_thermal2d": pallas_thermal2d,
 }
 
