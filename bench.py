@@ -75,13 +75,25 @@ def bench_family(name, factory_kwargs=None, repeats=3):
     t_iter = max((min(t2s) - min(t1s)) / dn, 1e-12)
     t_eff = bytes_per_iter / t_iter / 1e9
     gups = n_cells / t_iter / 1e9
-    return {
+    row = {
         "T_eff_GBs": round(t_eff, 2),
         "GUPS": round(gups, 3),
         "t_iter_us": round(t_iter * 1e6, 3),
         "n_cells": n_cells,
         "vs_hbm_peak": round(t_eff / HBM_PEAK, 4),
     }
+    if not name.startswith("pallas_"):
+        # measured roofline fraction at ACTUAL traffic (carry 2x + consts
+        # 1x, zero HBM temps): ~1.0 proves the XLA path is memory-bound at
+        # speed-of-light and any T_eff deficit is traffic overhead (which
+        # the Pallas chunk/blocked paths remove), not kernel inefficiency
+        try:
+            sb = bk.stream_bytes_per_iter(name, factory_kwargs)
+            row["stream_GBs"] = round(sb / t_iter / 1e9, 2)
+            row["stream_frac_peak"] = round(sb / t_iter / 1e9 / HBM_PEAK, 4)
+        except Exception:
+            pass
+    return row
 
 
 def run_goldens(level="default"):
@@ -138,6 +150,19 @@ def run_goldens(level="default"):
         "err": float(sbp_info.err),
         "pass": bool(
             abs(tII_max_p - 1.6415) < 0.01 and float(sbp_info.err) < 1e-4
+        ),
+    }
+
+    # ... and through the grid-blocked streaming VEP kernel (force-blocked
+    # on a small grid: the window/halo/DMA machinery golden-checked on HW)
+    _, sbb_info, _, _, sbb_tau_II = shearband.run(
+        n=32, nt=10, use_pallas="blocked")
+    tII_max_b = float(np.asarray(sbb_tau_II).max())
+    out["shearband_vep_pallas_blocked_tauII_max"] = {
+        "value": tII_max_b, "golden": 1.6415, "atol": 0.01,
+        "err": float(sbb_info.err),
+        "pass": bool(
+            abs(tII_max_b - 1.6415) < 0.01 and float(sbb_info.err) < 1e-4
         ),
     }
 

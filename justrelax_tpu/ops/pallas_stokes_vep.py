@@ -701,21 +701,24 @@ _N_CARRY_VEP = 12
 
 
 def choose_blocking_vep(nx, ny, n_const, itemsize=4, row_block=None,
-                        iters_per_pass=None, budget=86 * 1024 * 1024,
-                        n_slots=2):
+                        iters_per_pass=None, budget=110 * 1024 * 1024):
     """Pick (R, k, n_blocks, A_pad, W) for the blocked VEP chunk.
 
     Same invariants as the VE/3D variants: R a multiple of 8, R ≥ 2H so the
     store offset is provably in {0, H, 2H}, H = 2k a multiple of 8 so the
-    dynamic window start is sublane-tile aligned. The VMEM model counts the
-    ``n_slots``-buffered scratch windows ((12 + n_const)·W each), the
-    pipelined output block (12·R) and ~60 in-flight value canvases of W rows
-    (the VEP body holds far more live temporaries than the VE one).
-    Returns None if nothing fits."""
+    dynamic window start is sublane-tile aligned. The VMEM model counts
+    the single scratch window ((12 + n_const) W-row canvases) plus ~30
+    W-row canvases of in-flight fori-body values — the latter calibrated
+    from a measured compiler OOM breakdown at 1024² on v5e (the v1 design's
+    R=208/W=240 report: 163.2 MB total decomposed into scratch + the
+    57.5 MB XLA-staged pass carry + 30 W-rows of temporaries; the v2
+    single-call design eliminates the staged carry entirely). Returns None
+    if nothing fits."""
     A = nx + 2
     b_pad = -((ny + 2) // -128) * 128
     ks = [iters_per_pass] if iters_per_pass else [8, 4]
-    r_targets = [row_block] if row_block else [256, 192, 128, 96, 64, 48, 32]
+    r_targets = [row_block] if row_block else [320, 256, 192, 128, 96, 64,
+                                               48, 32]
     for k in ks:
         H = 2 * k
         for r_t in r_targets:
@@ -732,81 +735,115 @@ def choose_blocking_vep(nx, ny, n_const, itemsize=4, row_block=None,
             if A_pad < W:
                 continue
             vmem = (
-                n_slots * (_N_CARRY_VEP + n_const) * W
-                + _N_CARRY_VEP * R + 60 * W
+                (_N_CARRY_VEP + n_const) * W + 30 * W
             ) * b_pad * itemsize
             if vmem <= budget:
                 return R, k, n_blocks, A_pad, W
     return None
 
 
-def _blocked_kernel_vep(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
-                        scr_c, scr_k, sem_c, sem_k,
-                        *, nx, ny, R, H, W, A_pad, n_blocks, n_slots,
-                        has_cap, bc_modes, visc_m, cnames, vnames, pipeline):
-    i = pl.program_id(0)
-    sc = {k: scal_ref[j] for j, k in enumerate(_SCAL)}
-    k_act = nit_ref[0]
+def _blocked_kernel_vep(scal_ref, npn_ref, carry0_hbm, const_hbm,
+                        outA, outB,
+                        scr_c, scr_k, sem_c, sem_k, sem_o,
+                        *, nx, ny, R, H, W, A_pad, n_blocks,
+                        has_cap, bc_modes, visc_m, cnames, vnames):
+    """One (pass, block) grid step of the single-call streaming chunk.
 
-    def wstart(b):
+    The whole ``nout``-iteration chunk is ONE pallas_call over a sequential
+    (pass, block) grid with ping-pong HBM carry buffers: pass 0 reads the
+    initial carry, every pass writes the opposite buffer. This removes the
+    two taxes the v1 per-pass design measured on v5e at 1024²: XLA staged
+    the 57.5 MB pass-loop carry in VMEM (capping the block size at R=96,
+    i.e. 33% redundant compute) and each pass paid a custom-call launch.
+    Excess grid passes (p ≥ n_pass, the grid is sized for the largest
+    supported chunk) skip all DMA and compute."""
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    sc = {k: scal_ref[j] for j, k in enumerate(_SCAL)}
+    n_pass = npn_ref[0]
+    nout = npn_ref[1]
+
+    @pl.when(p < n_pass)
+    def _run():
         import math as _math
 
-        return pl.multiple_of(
-            jnp.clip(b * R - H, 0, A_pad - W), _math.gcd(R, H)
+        start = pl.multiple_of(
+            jnp.clip(i * R - H, 0, A_pad - W), _math.gcd(R, H)
         )
+        even = (p % 2) == 0
 
-    def dma_c(slot, b):
-        return pltpu.make_async_copy(
-            carry_hbm.at[:, pl.ds(wstart(b), W)], scr_c.at[slot],
-            sem_c.at[slot]
-        )
+        pltpu.make_async_copy(
+            const_hbm.at[:, pl.ds(start, W)], scr_k, sem_k
+        ).start()
 
-    def dma_k(slot, b):
-        return pltpu.make_async_copy(
-            const_hbm.at[:, pl.ds(wstart(b), W)], scr_k.at[slot],
-            sem_k.at[slot]
-        )
-
-    if pipeline:
-        @pl.when(i == 0)
+        @pl.when(p == 0)
         def _():
-            dma_c(0, 0).start()
-            dma_k(0, 0).start()
+            pltpu.make_async_copy(
+                carry0_hbm.at[:, pl.ds(start, W)], scr_c, sem_c
+            ).start()
 
-        @pl.when(i + 1 < n_blocks)
+        @pl.when((p > 0) & even)
         def _():
-            nxt = (i + 1) % n_slots
-            dma_c(nxt, i + 1).start()
-            dma_k(nxt, i + 1).start()
+            pltpu.make_async_copy(
+                outA.at[:, pl.ds(start, W)], scr_c, sem_c
+            ).start()
 
-        slot = i % n_slots
-    else:
-        slot = 0
-        dma_c(0, i).start()
-        dma_k(0, i).start()
-    dma_c(slot, i).wait()
-    dma_k(slot, i).wait()
+        @pl.when((p > 0) & ~even)
+        def _():
+            pltpu.make_async_copy(
+                outB.at[:, pl.ds(start, W)], scr_c, sem_c
+            ).start()
 
-    start = wstart(i)
-    carry = tuple(scr_c[slot, j] for j in range(_N_CARRY_VEP))
-    ci = {name: scr_k[slot, j] for j, name in enumerate(cnames)}
-    vi = {name: scr_k[slot, len(cnames) + j]
-          for j, name in enumerate(vnames)}
+        pltpu.make_async_copy(
+            const_hbm.at[:, pl.ds(start, W)], scr_k, sem_k
+        ).wait()
+        pltpu.make_async_copy(
+            carry0_hbm.at[:, pl.ds(start, W)], scr_c, sem_c
+        ).wait()
 
-    def body(_, c):
-        return _vep_iteration(
-            c, ci, vi, sc, nx=nx, ny=ny, has_cap=has_cap,
-            bc_modes=bc_modes, visc_m=visc_m, x_off=start,
-        )
+        carry = tuple(scr_c[j] for j in range(_N_CARRY_VEP))
+        ci = {name: scr_k[j] for j, name in enumerate(cnames)}
+        vi = {name: scr_k[len(cnames) + j]
+              for j, name in enumerate(vnames)}
 
-    out = lax.fori_loop(0, k_act, body, carry)
+        def body(_, c):
+            return _vep_iteration(
+                c, ci, vi, sc, nx=nx, ny=ny, has_cap=has_cap,
+                bc_modes=bc_modes, visc_m=visc_m, x_off=start,
+            )
 
-    off = i * R - start
-    for o_val in (0, H, 2 * H):
-        @pl.when(off == o_val)
-        def _(out=out, o_val=o_val):
-            for j in range(_N_CARRY_VEP):
-                out_ref[j] = out[j][o_val:o_val + R]
+        k_act = jnp.minimum(jnp.asarray(H // 2, jnp.int32),
+                            nout - p * (H // 2))
+        out = lax.fori_loop(0, k_act, body, carry)
+
+        # stage the owned rows back into the (now-consumed) carry scratch,
+        # then one DMA to the destination parity buffer
+        off = i * R - start
+        for o_val in (0, H, 2 * H):
+            @pl.when(off == o_val)
+            def _(out=out, o_val=o_val):
+                for j in range(_N_CARRY_VEP):
+                    scr_c[j, 0:R] = out[j][o_val:o_val + R]
+
+        dst_row = pl.multiple_of(i * R, R)
+
+        @pl.when(even)
+        def _():
+            cp = pltpu.make_async_copy(
+                scr_c.at[:, pl.ds(0, R)], outB.at[:, pl.ds(dst_row, R)],
+                sem_o,
+            )
+            cp.start()
+            cp.wait()
+
+        @pl.when(~even)
+        def _():
+            cp = pltpu.make_async_copy(
+                scr_c.at[:, pl.ds(0, R)], outA.at[:, pl.ds(dst_row, R)],
+                sem_o,
+            )
+            cp.start()
+            cp.wait()
 
 
 def stokes_vep_chunk_blocked(
@@ -818,15 +855,17 @@ def stokes_vep_chunk_blocked(
     rel_lambda, viscosity_relaxation, viscosity_cutoff,
     nout: int = 100, interpret: bool = False, has_cap=None,
     flow_bc=None, T_v=None, visc_m="auto",
-    row_block=None, iters_per_pass=None, pipeline: bool = True,
+    row_block=None, iters_per_pass=None, max_nout: int = 131072,
 ):
     """Advance ``nout`` fused VEP PT iterations via temporally-blocked row
     streaming — same contract, physics coverage and restrictions as
     :func:`stokes_vep_chunk_vmem`, for grids past VMEM residency (1024²+).
-    ``nout`` may be traced; passes of ``iters_per_pass`` (default 8)
-    iterations each stream the grid through VMEM until ``nout`` iterations
-    have been applied. ``pipeline=False`` disables cross-block DMA
-    double-buffering (interpret-mode tests)."""
+
+    The whole chunk is ONE pallas_call over a sequential (pass, block)
+    grid with ping-pong HBM carry buffers (see ``_blocked_kernel_vep``).
+    ``nout`` may be traced; the grid is sized for ``ceil(nout/k)`` passes
+    when ``nout`` is a Python int, else for ``max_nout`` (excess passes
+    skip all work — their grid-step cost is constant per call)."""
     nx, ny = theta.shape
     dtype = theta.dtype
     itemsize = jnp.dtype(dtype).itemsize
@@ -841,8 +880,7 @@ def stokes_vep_chunk_blocked(
     )
     n_const = len(cnames) + len(vnames)
     blocking = choose_blocking_vep(nx, ny, n_const, itemsize, row_block,
-                                   iters_per_pass,
-                                   n_slots=2 if pipeline else 1)
+                                   iters_per_pass)
     if blocking is None:
         raise ValueError(
             f"no blocked VEP configuration fits VMEM for {nx}x{ny}"
@@ -857,49 +895,54 @@ def stokes_vep_chunk_blocked(
     carry0 = jnp.stack(list(canv))
     carry0 = jnp.pad(carry0, ((0, 0), (0, A_pad - A), (0, B_pad - B)))
 
-    n_slots = 2 if pipeline else 1
+    n_pass_max = -(int(nout) // -k) if isinstance(nout, int) \
+        else -(max_nout // -k)
     kern = partial(
         _blocked_kernel_vep, nx=nx, ny=ny, R=R, H=H, W=W, A_pad=A_pad,
-        n_blocks=n_blocks, n_slots=n_slots, has_cap=bool(has_cap),
+        n_blocks=n_blocks, has_cap=bool(has_cap),
         bc_modes=bc_modes,
         visc_m=None if visc_m is None else float(visc_m),
-        cnames=cnames, vnames=vnames, pipeline=pipeline,
+        cnames=cnames, vnames=vnames,
     )
     call = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_blocks,),
+            grid=(n_pass_max, n_blocks),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(
-                (_N_CARRY_VEP, R, B_pad), lambda i, *_: (0, i, 0)
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
             scratch_shapes=[
-                pltpu.VMEM((n_slots, _N_CARRY_VEP, W, B_pad), dtype),
-                pltpu.VMEM((n_slots, n_const, W, B_pad), dtype),
-                pltpu.SemaphoreType.DMA((n_slots,)),
-                pltpu.SemaphoreType.DMA((n_slots,)),
+                pltpu.VMEM((_N_CARRY_VEP, W, B_pad), dtype),
+                pltpu.VMEM((n_const, W, B_pad), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((_N_CARRY_VEP, A_pad, B_pad), dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((_N_CARRY_VEP, A_pad, B_pad), dtype),
+            jax.ShapeDtypeStruct((_N_CARRY_VEP, A_pad, B_pad), dtype),
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )
 
     nout_t = jnp.asarray(nout, jnp.int32)
     n_pass = (nout_t + k - 1) // k
-
-    def one_pass(p, cs):
-        k_act = jnp.minimum(k, nout_t - p * k).astype(jnp.int32)
-        return call(scal, k_act.reshape(1), cs, const)
-
-    o = lax.fori_loop(0, n_pass, one_pass, carry0)
+    npn = jnp.stack([n_pass.astype(jnp.int32), nout_t])
+    oA, oB = call(scal, npn, carry0, const)
+    # the last pass (p = n_pass−1) wrote outB when p is even, i.e. when
+    # n_pass is odd
+    o = jnp.where((n_pass % 2) == 1, oB, oA)
     o = o[:, :A, :B]
     return (
         o[0][:-1, :], o[1][:, :-1],

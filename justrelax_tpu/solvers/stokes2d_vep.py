@@ -314,12 +314,8 @@ def _solve_vep(
             )
 
             interp = jax.default_backend() != "tpu"
-            if pallas_blocked:
-                # cross-block scratch persistence is only guaranteed on HW
-                chunk_fn = partial(stokes_vep_chunk_blocked,
-                                   pipeline=not interp)
-            else:
-                chunk_fn = stokes_vep_chunk_vmem
+            chunk_fn = (stokes_vep_chunk_blocked if pallas_blocked
+                        else stokes_vep_chunk_vmem)
             out = chunk_fn(
                 c.Vx, c.Vy, c.theta, c.P, c.txx, c.tyy, c.txy_c, c.txy_v,
                 c.eta, c.eta_v, c.lam, c.lam_v,

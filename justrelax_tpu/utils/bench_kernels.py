@@ -42,7 +42,42 @@ from jax import lax
 
 Array = Any
 
-__all__ = ["FAMILIES", "make_family"]
+__all__ = ["FAMILIES", "make_family", "stream_bytes_per_iter"]
+
+
+def stream_bytes_per_iter(name, factory_kwargs=None):
+    """Actual per-iteration HBM stream of a family's XLA fori path, in bytes.
+
+    T_eff counts only the Räss-convention *necessary* traffic; the XLA
+    streaming path actually moves more — every loop-carried array is read
+    AND written each iteration (2×) and every chunk-invariant operand
+    (explicit consts + closure constants, e.g. phase ratios and moduli
+    canvases) is re-read each iteration (1×). Zero HBM temps (the compiled
+    HLO keeps fusion intermediates in VMEM — inspected at 512² on v5e), so
+    this sum IS the stream. Closure constants are collected from the
+    jaxpr's constvars. ``(stream bytes / t_iter) / HBM peak`` is then the
+    *measured roofline fraction at actual traffic* — the quantity that says
+    whether a path is memory-bound at speed-of-light (≈1) or compute-bound
+    (<1), independent of the traffic-accounting convention. Not meaningful
+    for the Pallas chunk families (their HBM traffic is per-chunk, not
+    per-iteration)."""
+    step, carry, consts, _, _ = FAMILIES[name](**(factory_kwargs or {}))
+
+    def leaf_bytes(tree):
+        return sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree.leaves(tree)
+            if hasattr(x, "shape") and x.ndim > 0
+        )
+
+    closed = jax.make_jaxpr(
+        lambda c, k: step(jnp.asarray(2, jnp.int32), c, k)
+    )(carry, consts)
+    const_arrays = [
+        v for v in closed.consts
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
+    ]
+    return 2 * leaf_bytes(carry) + leaf_bytes(consts) + leaf_bytes(const_arrays)
 
 
 # --------------------------------------------------------------------------
@@ -630,7 +665,8 @@ def pallas_vep2d(n=382, dtype=jnp.float32):
     return step, carry, consts, 39 * n_cells * 4, n_cells
 
 
-def pallas_vep2d_blocked(n=1024, dtype=jnp.float32):
+def pallas_vep2d_blocked(n=1024, dtype=jnp.float32, row_block=None,
+                         iters_per_pass=None):
     """Grid-blocked temporally-blocked Pallas chunk of the FLAGSHIP VEP
     iteration at production scale (ops/pallas_stokes_vep.py::
     stokes_vep_chunk_blocked): row-blocks with 2k-row halos advance k
@@ -679,13 +715,19 @@ def pallas_vep2d_blocked(n=1024, dtype=jnp.float32):
     scal = (0.25, inv_dx, inv_dy, float(pt.r), float(pt.theta_dtau),
             float(pt.etadtau), 0.2, 1.0, (-jnp.inf, jnp.inf))
 
+    blk_kw = {}
+    if row_block is not None:
+        blk_kw["row_block"] = row_block
+    if iters_per_pass is not None:
+        blk_kw["iters_per_pass"] = iters_per_pass
+
     def step(n_iter, carry, consts):
         (txx_o, tyy_o, txy_c_o, txy_v_o, eta, eta_v) = consts
         return stokes_vep_chunk_blocked(
             carry[0], carry[1], Z, Z, txx_o, tyy_o, txy_c_o, txy_v_o,
             eta, eta_v, Z, Zv,
             Z, Z, txx_o, tyy_o, txy_c_o, txy_v_o, Z,
-            material, pr_c, pr_v, None, *scal, nout=n_iter,
+            material, pr_c, pr_v, None, *scal, nout=n_iter, **blk_kw,
         )
 
     carry = (Vx, Vy)

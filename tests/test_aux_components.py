@@ -30,7 +30,7 @@ def _pp(sinphi=0.5, sinpsi=0.1):
     return PlasticParams(
         is_pl=one > 0, pl_frac=one, C_cosphi=one * 0.866,
         sinphi=one * sinphi, cosphi=one * 0.866, sinpsi=one * sinpsi,
-        eta_reg=one * 0.0, pT=one * 0.0,
+        eta_reg=one * 0.0, pT=one * 0.0, dq_shear=one,
     )
 
 

@@ -62,7 +62,7 @@ def _run_both(n, bc, material, T, NIT, row_block, iters_per_pass):
         st.P, st.Q, *tau_o, EII, material, pr_c, pr_v, T,
         dt, inv_dx, inv_dy, pt.r, pt.theta_dtau, pt.etadtau,
         0.2, 0.5, cutoff, nout=NIT, row_block=row_block,
-        iters_per_pass=iters_per_pass, pipeline=False, **common)
+        iters_per_pass=iters_per_pass, **common)
     return res, blk
 
 
