@@ -8,25 +8,36 @@ time — against the HBM speed-of-light, plus grid-updates/s. BASELINE.md
 requires this *per kernel family*; the families and their Räss-convention
 traffic accounting live in justrelax_tpu/utils/bench_kernels.py.
 
-In addition to timing, this runs real solves on the attached chip and asserts
-reference golden values at f32-appropriate tolerances (the round-1 VERDICT's
-"the chip has never computed a verified number" item): SolCx residual +
-diffusion2D golden midpoint T by default, elastic-buildup Maxwell curve with
-BENCH_GOLDENS=full.
+Crash-isolation contract (round-3 postmortem: one VMEM compile failure at
+family 11 of 12 erased every already-measured row AND the golden tier):
+- goldens run FIRST, each wrapped individually;
+- every family is wrapped; a compile/runtime failure becomes that family's
+  row ({"error": tail}) instead of killing the run;
+- every completed item is appended immediately to BENCH_partial.jsonl (and
+  a progress line goes to stderr), so a kill at any point leaves a record;
+- Pallas families are compiled via the explicit AOT path
+  (jit(step).lower(...).compile()) — the compile outcome at the production
+  shape is recorded in the "pallas_preflight" section whether or not the
+  timed run happens;
+- the process exits 0 with the final single JSON line on stdout unless the
+  harness itself is broken.
 
-Prints ONE JSON line. Headline metric = flagship 2D VE T_eff; per-family rows
-under "families"; golden outcomes under "tpu_goldens"; vs_baseline = T_eff /
-HBM peak (v5e: 819 GB/s).
+Prints ONE JSON line. Headline metric = flagship 2D VEP T_eff; per-family
+rows under "families"; golden outcomes under "tpu_goldens"; AOT compile
+table under "pallas_preflight"; vs_baseline = T_eff / HBM peak (v5e:
+819 GB/s).
 
-Env overrides: BENCH_FAMILIES=ve2d,vep2d,thermal2d,ve3d  BENCH_GOLDENS=
-default|full|off  BENCH_REPEATS=3
+Env overrides: BENCH_FAMILIES=ve2d,vep2d,...  BENCH_GOLDENS=default|full|off
+BENCH_REPEATS=3
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +47,29 @@ import numpy as np
 # materialization with np.asarray; the persistent compilation cache does not
 # capture axon executables, so each family costs one remote compile
 # (~minutes). Per-call jitter is ~10-100 ms, so the two-point slope signal is
-# auto-calibrated to ≥ 0.5 s.
+# auto-calibrated to >= 0.5 s.
 
 HBM_PEAK = 819.0  # v5e HBM GB/s
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_partial.jsonl")
+
+
+def _progress(section, name, row):
+    """Append one completed item to the partial record and stderr — a later
+    crash/kill can never erase it."""
+    line = json.dumps({"section": section, "name": name, "row": row})
+    try:
+        with open(PARTIAL_PATH, "a") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(f"[bench] {section}:{name} -> {line[:400]}", file=sys.stderr,
+          flush=True)
+
+
+def _err_tail(exc, n=900):
+    s = f"{type(exc).__name__}: {exc}"
+    return s[-n:]
 
 
 def _materialize(out):
@@ -52,14 +83,31 @@ def _time_once(fn, n, carry, consts):
     return time.perf_counter() - t0
 
 
-def bench_family(name, factory_kwargs=None, repeats=3):
+def bench_family(name, factory_kwargs=None, repeats=3, preflight=None):
     from justrelax_tpu.utils import bench_kernels as bk
 
     step, carry, consts, bytes_per_iter, n_cells = bk.FAMILIES[name](
         **(factory_kwargs or {})
     )
-    fn = jax.jit(step)
-    _time_once(fn, 10, carry, consts)  # compile + warmup
+    # explicit AOT stage: for Pallas families the compile outcome at this
+    # (production) shape is the dispatch-gate record the VERDICT asks for;
+    # the same executable is then timed (no second compile).
+    jitted = jax.jit(step)
+    t0 = time.perf_counter()
+    try:
+        fn = jitted.lower(jnp.asarray(10, jnp.int32), carry, consts).compile()
+        compile_s = time.perf_counter() - t0
+        if preflight is not None:
+            preflight[name] = {
+                "compiles": True, "compile_s": round(compile_s, 1),
+                "n_cells": n_cells,
+            }
+    except Exception as exc:  # compile failure: record and re-raise
+        if preflight is not None:
+            preflight[name] = {"compiles": False, "error": _err_tail(exc)}
+        raise
+
+    _time_once(fn, 10, carry, consts)  # warmup
 
     # calibrate iteration time, then size the slope signal to ~0.6 s
     t_a = min(_time_once(fn, 10, carry, consts) for _ in range(2))
@@ -96,113 +144,91 @@ def bench_family(name, factory_kwargs=None, repeats=3):
     return row
 
 
+def _golden_items(level):
+    """Yield (name, thunk) pairs; each thunk returns a result dict with a
+    'pass' key. Reference oracles: test_stokes_solcx.jl:33-34,
+    test_diffusion2D.jl:133-134, test_shearband2D.jl:197-201,
+    test_stokes_burstedde.jl:32-40, test_shearband2D_DYREL.jl,
+    test_stokes_elastic_buildup.jl, test_Blankenbach.jl:285-287."""
+
+    def solcx():
+        from justrelax_tpu.models import solcx as m
+        _, _, info, _ = m.run(nx=32, ny=32, d_eta=1.0e6)
+        v = float(info.err)
+        # f64 oracle is 1e-8; f32 PT stalls at the rounding floor ~1e-6
+        return {"value": v, "tol": 5.0e-6, "pass": bool(v < 5.0e-6)}
+
+    def diffusion2d():
+        from justrelax_tpu.models import diffusion2d as m
+        thermal, _ = m.run(nx=32, ny=32)
+        T = np.asarray(thermal.T)
+        mid = float(T[T.shape[0] // 2, T.shape[1] // 2])
+        golden = 1817.9448461176817
+        return {"value": mid, "golden": golden, "atol": 0.5,
+                "pass": bool(abs(mid - golden) < 0.5)}
+
+    def _shearband(**kw):
+        from justrelax_tpu.models import shearband as m
+        _, info, _, _, tau_II = m.run(n=32, nt=10, **kw)
+        v = float(np.asarray(tau_II).max())
+        return {"value": v, "golden": 1.6415, "atol": 0.01,
+                "err": float(info.err),
+                "pass": bool(abs(v - 1.6415) < 0.01
+                             and float(info.err) < 1e-4)}
+
+    def burstedde():
+        from justrelax_tpu.models import burstedde as m
+        geom3, st3, info3 = m.run(nx=16, ny=16, nz=16, iter_max=20_000,
+                                  nout=1_000)
+        vx_a, _ = m.analytic_velocity(geom3)
+        vx = np.asarray(st3.V.Vx[:, 1:-1, 8])
+        rel = float(np.linalg.norm(vx - vx_a) / np.linalg.norm(vx_a))
+        return {"value": rel, "tol": 5.0e-2, "err": float(info3.err),
+                "pass": bool(rel < 5.0e-2)}
+
+    def dyrel():
+        from justrelax_tpu.models import shearband_dyrel as m
+        _, info, _, _, tau_II = m.run(n=32, nt=10)
+        v = float(np.asarray(tau_II).max())
+        return {"value": v, "golden": 1.639, "atol": 0.02,
+                "err": float(info.err),
+                "pass": bool(abs(v - 1.639) < 0.02)}
+
+    def elastic_buildup():
+        from justrelax_tpu.models import elastic_buildup as m
+        _, av, sol, _, _ = m.run(nx=32, ny=32, endtime_kyr=10.0)
+        err = float(np.mean([abs(abs(a) - s) / s for a, s in zip(av, sol)]))
+        return {"value": err, "tol": 6.0e-3, "pass": bool(err <= 6.0e-3)}
+
+    yield "solcx_err", solcx
+    yield "diffusion2d_T_mid", diffusion2d
+    # flagship VEP shearband: fused center+vertex Drucker-Prager return
+    # mapping + λ relaxation survive f32 on hardware, through all three
+    # dispatch paths (XLA / VMEM-resident chunk / grid-blocked streaming)
+    yield "shearband_vep_tauII_max", _shearband
+    yield "shearband_vep_pallas_tauII_max", (
+        lambda: _shearband(use_pallas=True))
+    yield "shearband_vep_pallas_blocked_tauII_max", (
+        lambda: _shearband(use_pallas="blocked"))
+    yield "burstedde3d_vx_rel_err", burstedde
+    yield "dyrel_shearband_tauII_max", dyrel
+    if level == "full":
+        yield "elastic_buildup_rel_err", elastic_buildup
+
+
 def run_goldens(level="default"):
     """Execute small solves ON THE ATTACHED BACKEND (f32 on TPU) and check
-    reference goldens at f32-appropriate tolerances (reference f64 values:
-    test_stokes_solcx.jl:33-34, test_diffusion2D.jl:133-134,
-    test_shearband2D.jl:197-201, test_stokes_burstedde.jl:32-40,
-    test_shearband2D_DYREL.jl, test_stokes_elastic_buildup.jl). Default tier
-    covers every solver family the repo ships: linear Stokes, thermal, the
-    flagship fused VEP return mapping (XLA and Pallas-chunk paths), 3D
-    Stokes against the analytic Burstedde solution, and DYREL."""
+    reference goldens at f32-appropriate tolerances. Each golden is isolated:
+    a failure records an error row and the rest still run."""
     out = {}
     if level == "off":
         return out
-
-    from justrelax_tpu.models import diffusion2d, solcx
-
-    _, _, info, _ = solcx.run(nx=32, ny=32, d_eta=1.0e6)
-    solcx_err = float(info.err)
-    # f64 oracle is 1e-8; f32 PT stalls at the rounding floor ~1e-6
-    out["solcx_err"] = {"value": solcx_err, "tol": 5.0e-6,
-                        "pass": bool(solcx_err < 5.0e-6)}
-
-    thermal, dinfo = diffusion2d.run(nx=32, ny=32)
-    T = np.asarray(thermal.T)
-    mid = float(T[T.shape[0] // 2, T.shape[1] // 2])
-    golden = 1817.9448461176817
-    out["diffusion2d_T_mid"] = {
-        "value": mid, "golden": golden, "atol": 0.5,
-        "pass": bool(abs(mid - golden) < 0.5),
-    }
-
-    # flagship VEP shearband: fused center+vertex Drucker-Prager return
-    # mapping + λ relaxation survive f32 on hardware. Goldens are the repo's
-    # converged f64 values (tests/test_shearband2d.py; reference
-    # test_shearband2D.jl:197-201 — see PARITY.md for the 0.2-1% offset).
-    from justrelax_tpu.models import shearband
-
-    _, sb_info, sb_tau_max, sb_sol, sb_tau_II = shearband.run(n=32, nt=10)
-    tII_max = float(np.asarray(sb_tau_II).max())
-    out["shearband_vep_tauII_max"] = {
-        "value": tII_max, "golden": 1.6415, "atol": 0.01,
-        "err": float(sb_info.err),
-        "pass": bool(abs(tII_max - 1.6415) < 0.01 and float(sb_info.err) < 1e-4),
-    }
-
-    # the same solve through the VMEM Pallas VEP chunk — golden-checked (not
-    # just timed): the plastic branch, continuation and free-slip all run
-    # inside the kernel
-    _, sbp_info, _, _, sbp_tau_II = shearband.run(n=32, nt=10, use_pallas=True)
-    tII_max_p = float(np.asarray(sbp_tau_II).max())
-    out["shearband_vep_pallas_tauII_max"] = {
-        "value": tII_max_p, "golden": 1.6415, "atol": 0.01,
-        "err": float(sbp_info.err),
-        "pass": bool(
-            abs(tII_max_p - 1.6415) < 0.01 and float(sbp_info.err) < 1e-4
-        ),
-    }
-
-    # ... and through the grid-blocked streaming VEP kernel (force-blocked
-    # on a small grid: the window/halo/DMA machinery golden-checked on HW)
-    _, sbb_info, _, _, sbb_tau_II = shearband.run(
-        n=32, nt=10, use_pallas="blocked")
-    tII_max_b = float(np.asarray(sbb_tau_II).max())
-    out["shearband_vep_pallas_blocked_tauII_max"] = {
-        "value": tII_max_b, "golden": 1.6415, "atol": 0.01,
-        "err": float(sbb_info.err),
-        "pass": bool(
-            abs(tII_max_b - 1.6415) < 0.01 and float(sbb_info.err) < 1e-4
-        ),
-    }
-
-    # 3D Stokes against the analytic Burstedde solution (reference
-    # test_stokes_burstedde.jl: err < 1e-8 f64; f32 stalls at the rounding
-    # floor so the oracle is the analytic velocity error)
-    from justrelax_tpu.models import burstedde
-
-    geom3, st3, info3 = burstedde.run(nx=16, ny=16, nz=16, iter_max=20_000,
-                                      nout=1_000)
-    vx_a, _ = burstedde.analytic_velocity(geom3)
-    # the analytic vx is z-independent: compare the mid-z plane, as
-    # tests/test_stokes_burstedde.py does
-    vx = np.asarray(st3.V.Vx[:, 1:-1, 8])
-    rel = float(np.linalg.norm(vx - vx_a) / np.linalg.norm(vx_a))
-    out["burstedde3d_vx_rel_err"] = {
-        "value": rel, "tol": 5.0e-2, "err": float(info3.err),
-        "pass": bool(rel < 5.0e-2),
-    }
-
-    # DYREL (Powell-Hestenes + dynamic relaxation + Gershgorin/Rayleigh
-    # autotuning) on the shearband config
-    from justrelax_tpu.models import shearband_dyrel
-
-    _, dy_info, dy_tau_max, dy_sol, dy_tau_II = shearband_dyrel.run(n=32, nt=10)
-    dy_max = float(np.asarray(dy_tau_II).max())
-    out["dyrel_shearband_tauII_max"] = {
-        "value": dy_max, "golden": 1.639, "atol": 0.02,
-        "err": float(dy_info.err),
-        "pass": bool(abs(dy_max - 1.639) < 0.02),
-    }
-
-    if level == "full":
-        from justrelax_tpu.models import elastic_buildup
-
-        _, av, sol, _, _ = elastic_buildup.run(nx=32, ny=32, endtime_kyr=10.0)
-        err = float(np.mean([abs(abs(a) - s) / s for a, s in zip(av, sol)]))
-        out["elastic_buildup_rel_err"] = {
-            "value": err, "tol": 6.0e-3, "pass": bool(err <= 6.0e-3)
-        }
+    for name, thunk in _golden_items(level):
+        try:
+            out[name] = thunk()
+        except Exception as exc:
+            out[name] = {"pass": False, "error": _err_tail(exc)}
+        _progress("goldens", name, out[name])
     return out
 
 
@@ -219,21 +245,38 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     golden_level = os.environ.get("BENCH_GOLDENS", "default")
 
-    results = {}
-    for fam in families:
-        results[fam] = bench_family(fam, repeats=repeats)
+    try:
+        os.remove(PARTIAL_PATH)
+    except OSError:
+        pass
 
+    # goldens FIRST: the correctness record survives any later perf failure
     goldens = run_goldens(golden_level)
+
+    results = {}
+    preflight = {}
+    for fam in families:
+        try:
+            results[fam] = bench_family(fam, repeats=repeats,
+                                        preflight=preflight)
+        except Exception as exc:
+            traceback.print_exc(file=sys.stderr)
+            results[fam] = {"error": _err_tail(exc)}
+        _progress("families", fam, results[fam])
+        if fam in preflight:
+            _progress("pallas_preflight", fam, preflight[fam])
+
+    ok_rows = {k: v for k, v in results.items() if "T_eff_GBs" in v}
 
     # Two headline numbers so a VMEM-resident chunk figure is never mistaken
     # for the production bar:
-    # - "production": the flagship multi-phase VEP iteration at 512² through
-    #   the XLA streaming path — what a production-scale coupled app pays;
+    # - "production": the flagship multi-phase VEP iteration through the XLA
+    #   streaming path — what a production-scale coupled app pays;
     # - "best_effective": the best Pallas chunk row (T_eff is *effective*:
     #   HBM is touched once per chunk/pass, so it may exceed HBM peak).
-    prod = (results.get("vep2d") or results.get("ve2d")
-            or next(iter(results.values()), None))
-    pallas_rows = {k: v for k, v in results.items() if k.startswith("pallas_")}
+    prod = (ok_rows.get("vep2d") or ok_rows.get("ve2d")
+            or next(iter(ok_rows.values()), None))
+    pallas_rows = {k: v for k, v in ok_rows.items() if k.startswith("pallas_")}
     best = max(pallas_rows.items(), key=lambda kv: kv[1]["T_eff_GBs"])[0] \
         if pallas_rows else None
     payload = {
@@ -245,6 +288,7 @@ def main():
             {"family": best, **results[best]} if best else None
         ),
         "families": results,
+        "pallas_preflight": preflight,
         "tpu_goldens": goldens,
         "goldens_all_pass": all(g["pass"] for g in goldens.values()) if goldens else None,
         "device": str(jax.devices()[0]),

@@ -701,19 +701,21 @@ _N_CARRY_VEP = 12
 
 
 def choose_blocking_vep(nx, ny, n_const, itemsize=4, row_block=None,
-                        iters_per_pass=None, budget=110 * 1024 * 1024):
+                        iters_per_pass=None, budget=100 * 1024 * 1024):
     """Pick (R, k, n_blocks, A_pad, W) for the blocked VEP chunk.
 
     Same invariants as the VE/3D variants: R a multiple of 8, R ≥ 2H so the
     store offset is provably in {0, H, 2H}, H = 2k a multiple of 8 so the
     dynamic window start is sublane-tile aligned. The VMEM model counts
-    the single scratch window ((12 + n_const) W-row canvases) plus ~30
-    W-row canvases of in-flight fori-body values — the latter calibrated
-    from a measured compiler OOM breakdown at 1024² on v5e (the v1 design's
-    R=208/W=240 report: 163.2 MB total decomposed into scratch + the
-    57.5 MB XLA-staged pass carry + 30 W-rows of temporaries; the v2
-    single-call design eliminates the staged carry entirely). Returns None
-    if nothing fits."""
+    the single scratch window ((12 + n_const) W-row canvases) plus ~90
+    W-row canvases of register-allocator spill for the in-flight fori-body
+    values. The spill term is calibrated from the BENCH_r03 on-chip compile
+    failure at 1024² (the v2 design's first real-chip compile): the chooser
+    then predicted 99.6 MB with a 30·W temporaries term, the compiler
+    reported 174.43 MB — 55.9 MB scratch operands (exactly (12+31)·W rows
+    at W=296) plus 118.5 MB of spill slots = 86.9·W rows. The VEP body
+    carries ~50 live canvases through the plastic return mapping, so the
+    spill is ~3× the VE body's. Returns None if nothing fits."""
     A = nx + 2
     b_pad = -((ny + 2) // -128) * 128
     ks = [iters_per_pass] if iters_per_pass else [8, 4]
@@ -735,7 +737,7 @@ def choose_blocking_vep(nx, ny, n_const, itemsize=4, row_block=None,
             if A_pad < W:
                 continue
             vmem = (
-                (_N_CARRY_VEP + n_const) * W + 30 * W
+                (_N_CARRY_VEP + n_const) * W + 90 * W
             ) * b_pad * itemsize
             if vmem <= budget:
                 return R, k, n_blocks, A_pad, W
@@ -865,7 +867,13 @@ def stokes_vep_chunk_blocked(
     grid with ping-pong HBM carry buffers (see ``_blocked_kernel_vep``).
     ``nout`` may be traced; the grid is sized for ``ceil(nout/k)`` passes
     when ``nout`` is a Python int, else for ``max_nout`` (excess passes
-    skip all work — their grid-step cost is constant per call)."""
+    skip all work — their grid-step cost is constant per call). A traced
+    ``nout`` is clamped to ``max_nout`` (the grid cannot grow at runtime);
+    ``nout=0`` returns the inputs unchanged (static) or runs one k_act=0
+    pass that copies the carry through (traced)."""
+    if isinstance(nout, int) and nout == 0:
+        return (Vx, Vy, theta, P_c, txx, tyy, txy_c, txy_v, eta, eta_v,
+                lam, lam_v)
     nx, ny = theta.shape
     dtype = theta.dtype
     itemsize = jnp.dtype(dtype).itemsize
@@ -936,8 +944,11 @@ def stokes_vep_chunk_blocked(
         interpret=interpret,
     )
 
-    nout_t = jnp.asarray(nout, jnp.int32)
-    n_pass = (nout_t + k - 1) // k
+    # clamp a traced nout to the grid extent (excess iterations would
+    # otherwise be silently dropped), and run at least one pass so the
+    # ping-pong output buffer is always written (k_act=0 copies the carry)
+    nout_t = jnp.minimum(jnp.asarray(nout, jnp.int32), max_nout)
+    n_pass = jnp.maximum((nout_t + k - 1) // k, 1)
     npn = jnp.stack([n_pass.astype(jnp.int32), nout_t])
     oA, oB = call(scal, npn, carry0, const)
     # the last pass (p = n_pass−1) wrote outB when p is even, i.e. when

@@ -41,6 +41,14 @@ Array = Any
 
 __all__ = ["solve_vep"]
 
+# Dispatch default for grids past VMEM residency (~650² f32), set by ON-CHIP
+# MEASUREMENT (VERDICT r03 #2; history in docs/performance.md): while the
+# blocked streaming kernel's measured record is a loss vs the XLA path at
+# 1024², `use_pallas=True` falls back to XLA past residency and the blocked
+# kernel stays opt-in via use_pallas="blocked" / pallas_blocked=True. Flip to
+# True only with a recorded on-chip win.
+VEP_BLOCKED_AUTO_DISPATCH = False
+
 
 def _gather4(A):
     """4 vertex values around each center: (A[i,j], A[i+1,j], A[i,j+1], A[i+1,j+1])."""
@@ -59,13 +67,40 @@ def solve_vep(
     T=None,
     use_pallas: bool = False,
     pallas_has_cap=None,
+    pallas_visc_m="auto",
+    pallas_blocked=None,
     **kwargs,
 ):
     """Public entry. ``use_pallas`` support checks need concrete material
     leaves, so they run here (outside jit); the solve itself is
-    :func:`_solve_vep`."""
+    :func:`_solve_vep`.
+
+    ``pallas_has_cap`` is the escape hatch for calling under an outer jit
+    trace (material leaves are tracers, so the auto-resolution below cannot
+    run): when supplied, ``pallas_visc_m`` must then also be given
+    explicitly (``None`` for a linear creep table, the shared exponent
+    ``n − 1`` for a collapsed power law) and ``pallas_blocked`` picks the
+    kernel (default VMEM-resident)."""
+    if pallas_has_cap is not None and use_pallas:
+        if pallas_visc_m == "auto":
+            raise ValueError(
+                "pallas_has_cap was supplied (jit-traced material leaves), "
+                "so pallas_visc_m cannot be auto-resolved: pass "
+                "pallas_visc_m=None for a linear creep table or the shared "
+                "power-law exponent n-1 (rheology/viscosity.py::"
+                "shared_powerlaw_exponent) for a nonlinear one"
+            )
+        return _solve_vep(
+            stokes, pt_stokes, geometry, flow_bc, material,
+            phase_ratios_center, phase_ratios_vertex, dt, T=T,
+            use_pallas=True, pallas_has_cap=bool(pallas_has_cap),
+            pallas_visc_m=pallas_visc_m,
+            pallas_blocked=bool(pallas_blocked or False),
+            **kwargs,
+        )
     pallas_visc_m = None
-    pallas_blocked = False
+    if pallas_blocked is not None:
+        pallas_blocked = bool(pallas_blocked)
     if use_pallas and pallas_has_cap is None:
         import numpy as _np
 
@@ -96,7 +131,21 @@ def solve_vep(
         itemsize = jnp.dtype(stokes.P.dtype).itemsize
         n_const = 33 if not linear else 31
         need = vep_vmem_bytes_needed(nx, ny, itemsize, nonlinear=not linear)
-        pallas_blocked = use_pallas == "blocked" or need > VEP_VMEM_BUDGET
+        if pallas_blocked is None:
+            # Past VMEM residency the dispatch default is set by on-chip
+            # measurement, not by construction (docs/performance.md,
+            # "blocked-VEP measurement history"): the blocked kernel is
+            # opt-in (use_pallas="blocked" / pallas_blocked=True) while the
+            # measured record has it losing to the XLA streaming path;
+            # use_pallas=True then falls back to XLA past residency.
+            if VEP_BLOCKED_AUTO_DISPATCH:
+                pallas_blocked = (
+                    use_pallas == "blocked" or need > VEP_VMEM_BUDGET
+                )
+            else:
+                pallas_blocked = use_pallas == "blocked"
+                if not pallas_blocked and need > VEP_VMEM_BUDGET:
+                    use_pallas = False
         if pallas_blocked and choose_blocking_vep(
             nx, ny, n_const, itemsize
         ) is None:
@@ -111,7 +160,8 @@ def solve_vep(
         phase_ratios_center, phase_ratios_vertex, dt, T=T,
         use_pallas=bool(use_pallas),
         pallas_has_cap=bool(pallas_has_cap or False),
-        pallas_visc_m=pallas_visc_m, pallas_blocked=pallas_blocked,
+        pallas_visc_m=pallas_visc_m,
+        pallas_blocked=bool(pallas_blocked or False),
         **kwargs,
     )
 

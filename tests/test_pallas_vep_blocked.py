@@ -148,6 +148,74 @@ def test_solve_vep_blocked_dispatch():
         np.asarray(s_blk.V.Vx), np.asarray(s_ref.V.Vx), atol=2e-6)
 
 
+def _blk_args(n):
+    """Assembled argument list for a direct stokes_vep_chunk_blocked call."""
+    ni, geometry, material, pr_c, pr_v, _, st, Vx0, Vy0, pt = _setup(
+        n, dilation=10.0)
+    f = st.P.dtype
+    txx_o = jnp.full(ni, 1.6, f)
+    tau_o = (txx_o, -txx_o, jnp.full(ni, 1.0, f),
+             jnp.full((n + 1, n + 1), 1.0, f))
+    from justrelax_tpu.rheology.viscosity import phase_viscosity
+
+    eta0 = phase_viscosity(material, jnp.ones(ni, f), None, pr_c, "tau") * 1.1
+    etav0 = phase_viscosity(
+        material, jnp.ones((n + 1, n + 1), f), None, pr_v, "tau") * 1.1
+    args = (Vx0, Vy0, st.P, st.P, tau_o[0], tau_o[1], tau_o[2], tau_o[3],
+            eta0, etav0, jnp.zeros(ni, f), jnp.zeros((n + 1, n + 1), f),
+            st.P, st.Q, *tau_o, st.EII_pl + 0.001,
+            material, pr_c, pr_v, None,
+            0.25, n / 1.0, n / 1.0, pt.r, pt.theta_dtau, pt.etadtau,
+            0.2, 0.5, (1e-3, 1e3))
+    return args
+
+
+def test_nout_zero_static_returns_inputs():
+    """ADVICE r03: nout=0 (static) must return the 12 input fields
+    unchanged, not uninitialized ping-pong buffers."""
+    args = _blk_args(46)
+    out = stokes_vep_chunk_blocked(*args, nout=0, interpret=True,
+                                   row_block=16, iters_per_pass=2)
+    for nm, a, b in zip(NAMES, args[:12], out):
+        assert float(jnp.abs(a - b).max()) == 0.0, nm
+
+
+def test_nout_zero_traced_copies_carry():
+    """A traced nout=0 runs one k_act=0 pass that copies the carry to the
+    output buffer — finite fields equal to the inputs (ADVICE r03)."""
+    import jax
+
+    args = _blk_args(46)
+
+    def f(nout):
+        return stokes_vep_chunk_blocked(
+            *args, nout=nout, interpret=True,
+            row_block=16, iters_per_pass=2, max_nout=8)
+
+    out = jax.jit(f)(jnp.asarray(0, jnp.int32))
+    for nm, a, b in zip(NAMES, args[:12], out):
+        assert bool(jnp.all(jnp.isfinite(b))), nm
+        assert float(jnp.abs(a - b).max()) == 0.0, nm
+
+
+def test_traced_nout_clamped_to_max_nout():
+    """A traced nout past max_nout is clamped (not silently dropped):
+    the result equals the max_nout result (ADVICE r03)."""
+    import jax
+
+    args = _blk_args(46)
+
+    def f(nout):
+        return stokes_vep_chunk_blocked(
+            *args, nout=nout, interpret=True,
+            row_block=16, iters_per_pass=2, max_nout=4)
+
+    out_hi = jax.jit(f)(jnp.asarray(99, jnp.int32))
+    out_max = jax.jit(f)(jnp.asarray(4, jnp.int32))
+    for nm, a, b in zip(NAMES, out_max, out_hi):
+        assert float(jnp.abs(a - b).max()) == 0.0, nm
+
+
 def test_choose_blocking_vep_invariants():
     """Production-size configs exist and respect the alignment/offset
     invariants (R multiple of 8, R >= 2H, H multiple of 8)."""
