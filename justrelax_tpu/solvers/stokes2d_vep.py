@@ -42,12 +42,13 @@ Array = Any
 __all__ = ["solve_vep"]
 
 # Dispatch default for grids past VMEM residency (~650² f32), set by ON-CHIP
-# MEASUREMENT (VERDICT r03 #2; history in docs/performance.md): while the
-# blocked streaming kernel's measured record is a loss vs the XLA path at
-# 1024², `use_pallas=True` falls back to XLA past residency and the blocked
-# kernel stays opt-in via use_pallas="blocked" / pallas_blocked=True. Flip to
-# True only with a recorded on-chip win.
-VEP_BLOCKED_AUTO_DISPATCH = False
+# MEASUREMENT (full history in docs/performance.md): the v2 single-call
+# blocked streaming kernel at the recalibrated R=120/k=8/W=152 config
+# measures 283.9 µs/iter at 1024² f32 on v5e vs the XLA streaming path's
+# 289.2 (576 vs 566 GB/s T_eff) — a recorded win, so `use_pallas=True`
+# auto-dispatches to it past residency. `pallas_blocked=False` forces the
+# XLA fallback; flip this off only with a recorded on-chip loss.
+VEP_BLOCKED_AUTO_DISPATCH = True
 
 
 def _gather4(A):
@@ -134,10 +135,10 @@ def solve_vep(
         if pallas_blocked is None:
             # Past VMEM residency the dispatch default is set by on-chip
             # measurement, not by construction (docs/performance.md,
-            # "blocked-VEP measurement history"): the blocked kernel is
-            # opt-in (use_pallas="blocked" / pallas_blocked=True) while the
-            # measured record has it losing to the XLA streaming path;
-            # use_pallas=True then falls back to XLA past residency.
+            # "blocked-VEP measurement history"): with a recorded win
+            # (VEP_BLOCKED_AUTO_DISPATCH) the blocked kernel takes over
+            # past residency; with a recorded loss use_pallas=True falls
+            # back to the XLA streaming path there.
             if VEP_BLOCKED_AUTO_DISPATCH:
                 pallas_blocked = (
                     use_pallas == "blocked" or need > VEP_VMEM_BUDGET
@@ -146,6 +147,10 @@ def solve_vep(
                 pallas_blocked = use_pallas == "blocked"
                 if not pallas_blocked and need > VEP_VMEM_BUDGET:
                     use_pallas = False
+        elif not pallas_blocked and need > VEP_VMEM_BUDGET:
+            # explicit opt-out of the blocked kernel past residency: the
+            # VMEM-resident chunk cannot compile there, so use XLA
+            use_pallas = False
         if pallas_blocked and choose_blocking_vep(
             nx, ny, n_const, itemsize
         ) is None:

@@ -47,12 +47,23 @@ def test_small_grid_resident(monkeypatch):
     assert up is True and blk is False
 
 
-def test_big_grid_demotes_to_xla(monkeypatch):
-    """Past VMEM residency, use_pallas=True falls back to the XLA path
-    (the blocked kernel's measured record is a loss; see
-    docs/performance.md)."""
-    assert not sv.VEP_BLOCKED_AUTO_DISPATCH
+def test_big_grid_dispatch_follows_measurement(monkeypatch):
+    """Past VMEM residency the use_pallas=True default follows the on-chip
+    measurement record (docs/performance.md): blocked kernel when
+    VEP_BLOCKED_AUTO_DISPATCH (r04: 576 vs 566 GB/s win), XLA fallback
+    otherwise."""
     up, blk, m = _dispatch(1024, monkeypatch, use_pallas=True)
+    if sv.VEP_BLOCKED_AUTO_DISPATCH:
+        assert up is True and blk is True
+    else:
+        assert up is False and blk is False
+
+
+def test_big_grid_blocked_opt_out_falls_back_to_xla(monkeypatch):
+    """Explicit pallas_blocked=False past residency cannot use the
+    VMEM-resident chunk (compile OOM) — it must fall back to XLA."""
+    up, blk, m = _dispatch(1024, monkeypatch, use_pallas=True,
+                           pallas_blocked=False)
     assert up is False and blk is False
 
 
