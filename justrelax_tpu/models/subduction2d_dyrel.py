@@ -101,6 +101,7 @@ def run(nx=50, ny=20, nt=3, seed=0, dtype=None, eps=1.0e-5):
     t = 0.0
     dt = 10.0e3 * YR  # reference initial dt (Subduction2D_DYREL.jl:78)
     tip_hist = []
+    aux = {}
     for _ in range(nt):
         eta = phase_viscosity(material, jnp.ones(ni, f), None, pr_c, "tau")
         eta_v = phase_viscosity(
@@ -123,6 +124,8 @@ def run(nx=50, ny=20, nt=3, seed=0, dtype=None, eps=1.0e-5):
             rho_g=(jnp.zeros(ni, f), rho_gy), eps=eps, nout=100,
             iter_max=50_000, total_iter_max=50_000,
         )
+        # solve-time inputs, for independent residual verification in tests
+        aux = {"rho_gy": rho_gy, "eta": eta, "eta_v": eta_v}
         dt = float(compute_dt(stokes.V.components, geometry.di)) * 0.8
 
         particles = advect_rk2(particles, stokes.V.components, geometry, dt)
@@ -142,4 +145,4 @@ def run(nx=50, ny=20, nt=3, seed=0, dtype=None, eps=1.0e-5):
                               jnp.inf).min())
         tip_hist.append(tip)
 
-    return stokes, particles, p_phase, pr_c, info, tip_hist
+    return stokes, particles, p_phase, pr_c, info, tip_hist, aux
