@@ -200,6 +200,33 @@ def _golden_items(level):
         err = float(np.mean([abs(abs(a) - s) / s for a, s in zip(av, sol)]))
         return {"value": err, "tol": 6.0e-3, "pass": bool(err <= 6.0e-3)}
 
+    def blankenbach_pallas():
+        """Coupled application on the fast path (VERDICT r03 #5): Blankenbach
+        convection — T-dependent density ρ(T)·g through the Pallas VEP
+        chunk — XLA vs use_pallas=True cross-checked ON-CHIP."""
+        from justrelax_tpu.models import blankenbach as m
+        ur_x, nu_x, info_x, _, _ = m.run(nx=32, ny=32, nit=2)
+        ur_p, nu_p, info_p, _, _ = m.run(nx=32, ny=32, nit=2,
+                                         use_pallas=True)
+        rel = abs(ur_p[-1] - ur_x[-1]) / abs(ur_x[-1])
+        ok = bool(rel < 1e-3 and np.isfinite(ur_p[-1])
+                  and float(info_p.err) < 1e-3)
+        return {"value": float(ur_p[-1]), "xla": float(ur_x[-1]),
+                "rel_gap": float(rel), "err": float(info_p.err), "pass": ok}
+
+    def blob3d_pallas():
+        """3D solve through solve_ve_3d(use_pallas=True) (VERDICT r03 #4):
+        rising-blob coupled step, Pallas blocked kernel vs XLA on-chip."""
+        from justrelax_tpu.models import rising_blob3d as m
+        s_x, _, _, i_x, zc_x = m.run(n=16, nt=1)
+        s_p, _, _, i_p, zc_p = m.run(n=16, nt=1, use_pallas=True)
+        vref = float(np.abs(np.asarray(s_x.V.Vz)).max())
+        dv = float(np.abs(np.asarray(s_p.V.Vz - s_x.V.Vz)).max())
+        rel = dv / vref
+        ok = bool(rel < 1e-3 and np.isfinite(vref) and vref > 0)
+        return {"value": float(zc_p[0]), "xla": float(zc_x[0]),
+                "v_rel_gap": rel, "err": float(i_p.err), "pass": ok}
+
     yield "solcx_err", solcx
     yield "diffusion2d_T_mid", diffusion2d
     # flagship VEP shearband: fused center+vertex Drucker-Prager return
@@ -212,6 +239,10 @@ def _golden_items(level):
         lambda: _shearband(use_pallas="blocked"))
     yield "burstedde3d_vx_rel_err", burstedde
     yield "dyrel_shearband_tauII_max", dyrel
+    # fast-path application goldens (r04): a coupled ρ(T)·g app through the
+    # Pallas VEP chunk, and a coupled 3D step through the blocked 3D kernel
+    yield "blankenbach_pallas_urms", blankenbach_pallas
+    yield "blob3d_pallas_zc", blob3d_pallas
     if level == "full":
         yield "elastic_buildup_rel_err", elastic_buildup
 

@@ -38,7 +38,7 @@ from justrelax_tpu.solvers.thermal import heatdiffusion_PT
 from justrelax_tpu.utils.timestep import compute_dt
 
 
-def run(nx=32, ny=32, nit=10, dtype=None):
+def run(nx=32, ny=32, nit=10, dtype=None, use_pallas=False):
     ni = (nx, ny)
     ly = 1000.0e3
     lx = ly
@@ -102,6 +102,7 @@ def run(nx=32, ny=32, nit=10, dtype=None):
             T=T_center,
             iter_max=150_000,
             nout=200,
+            use_pallas=use_pallas,
         )
         dt = float(compute_dt(stokes.V.components, di, dt_diff))
 

@@ -23,7 +23,8 @@ branch, continuation) and runs on the VPU over full canvases.
 
 Restrictions (dispatch falls back to the XLA path otherwise): uniform grid,
 each face free-slip or no-slip (both run in-kernel, incl. the reference's
-bottom-row Vx/3 no-slip smoothing), constant density (ρg chunk-invariant),
+bottom-row Vx/3 no-slip smoothing), solve-invariant density (ρ(T)·g is
+fine — T is frozen during a solve; only beta != 0 falls back),
 no free-surface term, and a creep table that is either linear (continuation
 toward a constant target — what ``compute_viscosity_fields`` reduces to in
 'tau' mode) or collapses to a shared-exponent power law
@@ -440,8 +441,8 @@ def vep_chunk_supported(material, geometry, flow_bc, free_surface) -> bool:
     """Static dispatch predicate for the VMEM VEP chunk: linear creep OR a
     collapsible tau-mode power law (shared dislocation exponent +
     diffusion/linear phases, rheology/viscosity.py::shared_powerlaw_exponent),
-    constant density, uniform grid, each face free-slip or no-slip, no
-    free-surface term."""
+    solve-invariant density, uniform grid, each face free-slip or no-slip,
+    no free-surface term."""
     import numpy as np
 
     from justrelax_tpu.rheology.viscosity import shared_powerlaw_exponent
@@ -452,9 +453,12 @@ def vep_chunk_supported(material, geometry, flow_bc, free_surface) -> bool:
         for a in ("disl_A", "diff_A", "peierls_A", "gbs_A")
     )
     creep_ok = linear or shared_powerlaw_exponent(material) is not None
-    const_rho = not any(
-        np.any(np.asarray(getattr(m, a)) != 0) for a in ("alpha", "beta")
-    )
+    # ρ(T)·g (alpha) is solve-invariant — T is frozen during a Stokes solve,
+    # so the reference's per-PT-iteration update_ρg! (Stokes2D.jl:678) is a
+    # no-op and the buoyancy canvas (built from compute_density(T=T) below)
+    # is exact. Only ρ(P) (beta) genuinely changes per iteration and needs
+    # the XLA path's per-iteration refresh.
+    const_rho = not np.any(np.asarray(m.beta) != 0)
     # the in-kernel return mapping implements the consistent ∂Q/∂τ tensor
     # gradient only (the Material.dqdtau_alt bracketing convention falls
     # back to the XLA path)
@@ -567,9 +571,13 @@ def _vep_prepare(
             )
 
     def cell(A, mode="constant"):
+        # single-phase materials with phase_ratios=None yield 0-d / (1,1)
+        # invariants — broadcast to the full cell shape before padding
+        A = jnp.broadcast_to(A, (nx, ny))
         return jnp.pad(A, ((1, 1), (1, 1)), mode=mode)
 
     def vert(A):
+        A = jnp.broadcast_to(A, (nx + 1, ny + 1))
         return jnp.pad(A, ((0, 1), (0, 1)))
 
     # --- chunk-invariant canvases ---------------------------------------
@@ -584,8 +592,9 @@ def _vep_prepare(
     Kdt0_v = jnp.where(jnp.isinf(K_v), 0.0, K_v * dt)
     inv_dt = jnp.where(jnp.isinf(dt), 0.0, 1.0 / dt)
 
-    ppc = plastic_params_phase(material, EII_pl, phase_ratios_center)
-    EII_v = av_a(expand_edges(EII_pl))
+    ppc = plastic_params_phase(material, jnp.broadcast_to(EII_pl, (nx, ny)),
+                               phase_ratios_center)
+    EII_v = av_a(expand_edges(jnp.broadcast_to(EII_pl, (nx, ny))))
     ppv = plastic_params_phase(material, EII_v, phase_ratios_vertex)
 
     # viscosity-continuation targets: a constant table for linear creep
@@ -606,7 +615,11 @@ def _vep_prepare(
         visc_c = [("visc_A", Ac), ("visc_B", Bc)]
         visc_v = [("visc_A", Av), ("visc_B", Bv)]
 
-    # constant-density buoyancy, face-averaged with the canvas convention
+    # solve-invariant buoyancy ρ(T)·g, face-averaged with the canvas
+    # convention: T is frozen during a Stokes solve, so the reference's
+    # per-iteration update_ρg! (Stokes2D.jl:678) reduces to this one canvas
+    # (the guard rejects beta != 0, the only genuinely P-dependent case;
+    # P=theta below is the entry pressure and contributes nothing at beta=0)
     from justrelax_tpu.rheology.materials import compute_density
 
     rho = compute_density(material, T=T, P=theta, phase_ratios=phase_ratios_center)

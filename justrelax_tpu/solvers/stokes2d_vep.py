@@ -119,8 +119,10 @@ def solve_vep(
         ):
             raise ValueError(
                 "use_pallas requires a linear or shared-exponent power-law "
-                "creep table, constant density, a uniform grid, free-slip/"
-                "no-slip BCs on every face and no free-surface term"
+                "creep table, a solve-invariant density (beta == 0; rho(T) "
+                "is fine — T is frozen during a solve), a uniform grid, "
+                "free-slip/no-slip BCs on every face and no free-surface "
+                "term"
             )
         p = _as_stack(material).params
         linear = not any(
@@ -220,8 +222,9 @@ def _solve_vep(
     streaming kernel past that (row-blocks, 2k-row halos, k iterations per
     VMEM pass); ``use_pallas="blocked"`` forces the latter (testing hook).
     Requires a linear or shared-exponent power-law creep table
-    (``pallas_visc_m`` = n − 1, static), constant density, a uniform grid
-    and free-slip/no-slip faces."""
+    (``pallas_visc_m`` = n − 1, static), a solve-invariant density
+    (beta == 0; rho(T) enters the chunk-invariant buoyancy canvas), a
+    uniform grid and free-slip/no-slip faces."""
     nx, ny = stokes.P.shape
     if hasattr(geometry, "di_center"):  # nonuniform vector-spacing grid
         # same kernel families as the VE solver (reference

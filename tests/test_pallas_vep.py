@@ -203,6 +203,51 @@ def test_solve_vep_use_pallas_dispatch_powerlaw_noslip():
         np.asarray(s_pal.V.Vx), np.asarray(s_ref.V.Vx), atol=1e-9)
 
 
+@pytest.mark.slow
+def test_solve_vep_use_pallas_buoyancy_rho_T():
+    """solve_vep(use_pallas=True) reproduces the XLA solve with a
+    temperature-dependent density ρ(T) = ρ0·(1 − α(T − T0)) driving the
+    flow — the Blankenbach-class coupled-application configuration. T is
+    frozen during a Stokes solve, so the XLA path's per-iteration
+    ρ(T)·g refresh (reference update_ρg!, Stokes2D.jl:678) equals the
+    chunk's one buoyancy canvas exactly; convergence parity follows."""
+    from justrelax_tpu.solvers.stokes2d_vep import solve_vep
+
+    n = 24
+    ni = (n, n)
+    geometry = Geometry(ni, (1.0, 1.0), origin=(0.0, -1.0))
+    # Kb=inf like the Blankenbach material: with dt=inf a finite Kb makes
+    # K*dt = inf and the dilatancy correction inf*0 = NaN on both paths
+    material = Material(rho0=1.0, T0=0.0, alpha=0.5, beta=0.0,
+                        G=1.0, eta0=1.0, gravity=1.0)
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True))
+    st = StokesState.make(ni)
+    f = st.P.dtype
+    xc = jnp.asarray(geometry.xci[0], f)
+    yc = jnp.asarray(geometry.xci[1], f)
+    # hot blob → buoyant rise, the Blankenbach driving pattern
+    T = jnp.exp(-(((xc[:, None] - 0.5) ** 2 + (yc[None, :] + 0.6) ** 2)
+                  / 0.02))
+    st = st.replace(viscosity=st.viscosity.replace(
+        eta=jnp.ones(ni, f), eta_v=jnp.ones((n + 1, n + 1), f)))
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di,
+                             CFL=0.9 / math.sqrt(2.1))
+    kw = dict(iter_max=2000, iter_min=200, nout=100)
+    s_ref, info_ref = solve_vep(
+        st, pt, geometry, bc, material, None, None, jnp.inf, T=T, **kw)
+    s_pal, info_pal = solve_vep(
+        st, pt, geometry, bc, material, None, None, jnp.inf, T=T,
+        use_pallas=True, **kw)
+    # the flow must actually be driven by ρ(T)·g
+    assert float(jnp.abs(s_ref.V.Vy).max()) > 1e-6
+    assert int(info_pal.iters) == int(info_ref.iters)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.V.Vy), np.asarray(s_ref.V.Vy), atol=2e-9)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.P), np.asarray(s_ref.P), atol=2e-9)
+
+
 def test_vep_chunk_dispatch_guards():
     """Unsupported configurations raise instead of silently degrading."""
     from justrelax_tpu.solvers.stokes2d_vep import solve_vep
@@ -214,6 +259,14 @@ def test_vep_chunk_dispatch_guards():
         free_slip=Faces(left=True, right=True, top=True))
     with pytest.raises(ValueError):
         solve_vep(st, pt, geometry, bad_bc, material, pr_c, pr_v, 0.25,
+                  use_pallas=True, iter_max=100, nout=50)
+    # pressure-dependent density (beta != 0) still falls back: the chunk's
+    # buoyancy canvas is solve-invariant, ρ(P) is not
+    beta_mat = MaterialStack.make([
+        Material(G=1.0, rho0=1.0, beta=0.1, Kb=5.0, eta0=1.0),
+        Material(G=0.5, rho0=1.0, beta=0.1, Kb=5.0, eta0=1.0)])
+    with pytest.raises(ValueError):
+        solve_vep(st, pt, geometry, bc, beta_mat, pr_c, pr_v, 0.25,
                   use_pallas=True, iter_max=100, nout=50)
     # a creep table that does not collapse (Peierls mechanism)
     C = 1.6 / math.cos(math.radians(30.0))
