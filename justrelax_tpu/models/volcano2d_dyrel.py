@@ -72,7 +72,7 @@ from justrelax_tpu.solvers.dyrel import solve_dyrel
 from justrelax_tpu.solvers.thermal import heatdiffusion_PT
 
 
-def run(nx=16, ny=8, nt=2, dtype=None, seed=0):
+def run(nx=16, ny=8, nt=2, dtype=None, seed=0, eps=1.0e-4):
     lx, lz = 30.0 * KM, 25.0 * KM
     ni = (nx, ny)
     geometry = Geometry(ni, (lx, lz), origin=(0.0, -20.0 * KM))
@@ -151,6 +151,7 @@ def run(nx=16, ny=8, nt=2, dtype=None, seed=0):
     dt_max = 2.0e3 * YR
     info = None
     phi_m = None
+    aux = {}
     for _ in range(nt):
         T_cc = particle2centroid(pT, particles, geometry)
         Tn = thermal_bcs(thermal.T.at[1:-1, 1:-1].set(T_cc), thermal_bc)
@@ -177,11 +178,14 @@ def run(nx=16, ny=8, nt=2, dtype=None, seed=0):
         # viscosity_relaxation=1e-3)
         stokes, info = solve_dyrel(
             stokes, geometry, flow_bc, material, pr.center, pr.vertex, dt,
-            rho_g=rho_g, T=T_center, eps=1.0e-4, nout=200, iter_max=50_000,
+            rho_g=rho_g, T=T_center, eps=eps, nout=200, iter_max=50_000,
             total_iter_max=50_000, lambda_relax=1.0,
             linear_viscosity=False, viscosity_relaxation=1.0e-3,
             viscosity_cutoff=(1.0e16, 1.0e23),
         )
+        # solve-time buoyancy, for the independent force-balance oracle in
+        # tests (the loop-end pr/T refresh would perturb ρg at interfaces)
+        aux = {"rho_gy": rho_g[1]}
 
         w_c = compute_vorticity_center(
             stokes.V.Vx, stokes.V.Vy, 1.0 / geometry.di[0], 1.0 / geometry.di[1]
@@ -225,4 +229,4 @@ def run(nx=16, ny=8, nt=2, dtype=None, seed=0):
         p_txx, p_tyy, p_txy = fields["txx"], fields["tyy"], fields["txy"]
         pr = ratios(particles, p_phase)
 
-    return stokes, thermal, particles, phi_m, info
+    return stokes, thermal, particles, phi_m, info, aux

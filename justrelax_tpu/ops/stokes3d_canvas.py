@@ -45,9 +45,47 @@ from typing import Any, NamedTuple, Optional
 import jax.numpy as jnp
 from jax import lax
 
-from justrelax_tpu.ops.pallas_stokes3d import pack_carry, unpack_carry
-
 Array = Any
+
+
+def _embed(A, pads):
+    return jnp.pad(A, pads)
+
+
+def pack_carry(Vx, Vy, Vz, P, txx, tyy, tzz, tyz, txz, txy):
+    """Staggered arrays → stacked carry canvas (10, nx+2, ny+2, nz+2).
+
+    (Moved here from the retired ops/pallas_stokes3d.py strip/plane kernels
+    — see docs/performance.md "3D kernel measurement history" for why those
+    designs were dropped in favor of pallas_stokes3d_blocked.py.)"""
+    return jnp.stack([
+        _embed(Vx, ((0, 1), (0, 0), (0, 0))),
+        _embed(Vy, ((0, 0), (0, 1), (0, 0))),
+        _embed(Vz, ((0, 0), (0, 0), (0, 1))),
+        _embed(P, ((1, 1), (1, 1), (1, 1))),
+        _embed(txx, ((1, 1), (1, 1), (1, 1))),
+        _embed(tyy, ((1, 1), (1, 1), (1, 1))),
+        _embed(tzz, ((1, 1), (1, 1), (1, 1))),
+        _embed(tyz, ((1, 1), (0, 1), (0, 1))),
+        _embed(txz, ((0, 1), (1, 1), (0, 1))),
+        _embed(txy, ((0, 1), (0, 1), (1, 1))),
+    ])
+
+
+def unpack_carry(C, nx, ny, nz):
+    """Inverse of :func:`pack_carry`."""
+    return (
+        C[0][:-1, :, :],                # Vx (nx+1, ny+2, nz+2)
+        C[1][:, :-1, :],                # Vy
+        C[2][:, :, :-1],                # Vz
+        C[3][1:-1, 1:-1, 1:-1],         # P
+        C[4][1:-1, 1:-1, 1:-1],
+        C[5][1:-1, 1:-1, 1:-1],
+        C[6][1:-1, 1:-1, 1:-1],
+        C[7][1:-1, :-1, :-1],           # tyz (nx, ny+1, nz+1)
+        C[8][:-1, 1:-1, :-1],           # txz
+        C[9][:-1, :-1, 1:-1],           # txy
+    )
 
 __all__ = [
     "CanvasCoeffs3D",

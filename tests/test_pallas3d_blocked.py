@@ -24,9 +24,27 @@ from justrelax_tpu.ops.stokes3d_canvas import (
     unpack_carry,
     ve3d_canvas_coefficients,
 )
-from tests.test_pallas3d import _random_state
-
 NAMES = ("Vx", "Vy", "Vz", "P", "txx", "tyy", "tzz", "tyz", "txz", "txy")
+
+
+def _random_state(ni, seed=0):
+    nx, ny, nz = ni
+    rng = np.random.default_rng(seed)
+
+    def r(*shape):
+        return jnp.asarray(rng.standard_normal(shape))
+
+    Vx = r(nx + 1, ny + 2, nz + 2)
+    Vy = r(nx + 2, ny + 1, nz + 2)
+    Vz = r(nx + 2, ny + 2, nz + 1)
+    P = r(nx, ny, nz)
+    txx, tyy, tzz = r(nx, ny, nz), r(nx, ny, nz), r(nx, ny, nz)
+    tyz = r(nx, ny + 1, nz + 1)
+    txz = r(nx + 1, ny, nz + 1)
+    txy = r(nx + 1, ny + 1, nz)
+    eta = jnp.exp(0.5 * r(nx, ny, nz))
+    fx, fy, fz = r(nx, ny, nz), r(nx, ny, nz), r(nx, ny, nz)
+    return (Vx, Vy, Vz, P, txx, tyy, tzz, tyz, txz, txy), (eta, fx, fy, fz)
 
 
 @pytest.mark.parametrize("ve", [False, True])

@@ -21,11 +21,34 @@ YR = 3600.0 * 24.0 * 365.25
 
 @pytest.mark.slow
 def test_volcano2d_dyrel_coupled():
-    stokes, thermal, particles, phi_m, info = volcano2d_dyrel.run(
+    stokes, thermal, particles, phi_m, info, aux = volcano2d_dyrel.run(
         nx=16, ny=8, nt=2
     )
     # DYREL converged (reference ϵ = 1e-4)
     assert float(info.err) < 1.0e-4
+
+    # independent force-balance oracle on the returned (τ, P) with the
+    # solve-time buoyancy: Ry = ∂τyy/∂y + ∂τxy/∂x − ∂P/∂y − ρg̅ must vanish
+    # relative to the buoyancy term (~ρg ≈ 2.6e4 Pa/m). Solver-agnostic —
+    # it needs no viscosity and would catch a wrong converged state no
+    # matter what the solver's internal norm claims.
+    from justrelax_tpu.core.grid import Geometry
+    from justrelax_tpu.models.volcano2d import KM
+
+    geometry = Geometry((16, 8), (100.0 * KM, 50.0 * KM),
+                        origin=(0.0, -45.0 * KM))
+    inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
+    tyy, txy, P = (np.asarray(stokes.tau.yy), np.asarray(stokes.tau.xy),
+                   np.asarray(stokes.P))
+    rho_gy = np.asarray(aux["rho_gy"])
+    Ry = ((tyy[:, 1:] - tyy[:, :-1]) * inv_dy
+          + (txy[1:, 1:-1] - txy[:-1, 1:-1]) * inv_dx
+          - (P[:, 1:] - P[:, :-1]) * inv_dy
+          - 0.5 * (rho_gy[:, 1:] + rho_gy[:, :-1]))
+    scale = float(np.abs(rho_gy).mean())
+    rms = float(np.linalg.norm(Ry) / np.sqrt(Ry.size))
+    assert rms < 1.0e-3 * scale, (rms, scale)
+
     Vy = np.asarray(stokes.V.Vy)
     cmyr = 100.0 * YR
     # frozen goldens (f64, seed=0; lithostatic P init per
@@ -56,7 +79,7 @@ def test_volcano2d_dyrel_cross_check_variational():
     both drive a central upwelling above the chamber."""
     from justrelax_tpu.models import volcano2d
 
-    sd, *_, idd = volcano2d_dyrel.run(nx=16, ny=8, nt=2)
+    sd, _, _, _, idd, _ = volcano2d_dyrel.run(nx=16, ny=8, nt=2)
     sv, *_, iv = volcano2d.run(nx=16, ny=8, nt=2)
     assert float(idd.err) < 1.0e-4
     assert float(iv.err) < 1.0e-4
