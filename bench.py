@@ -205,8 +205,8 @@ def _golden_items(level):
         convection — T-dependent density ρ(T)·g through the Pallas VEP
         chunk — XLA vs use_pallas=True cross-checked ON-CHIP."""
         from justrelax_tpu.models import blankenbach as m
-        ur_x, nu_x, info_x, _, _ = m.run(nx=32, ny=32, nit=2)
-        ur_p, nu_p, info_p, _, _ = m.run(nx=32, ny=32, nit=2,
+        ur_x, nu_x, info_x, _, _ = m.run(nx=32, ny=32, nit=1)
+        ur_p, nu_p, info_p, _, _ = m.run(nx=32, ny=32, nit=1,
                                          use_pallas=True)
         rel = abs(ur_p[-1] - ur_x[-1]) / abs(ur_x[-1])
         ok = bool(rel < 1e-3 and np.isfinite(ur_p[-1])

@@ -529,11 +529,19 @@ def solve_dyrel(
         err_min = jnp.minimum(o.err_min, err)
         eps_vel = err * rel
 
-        c = inner_solve(o.P, c, eps_vel)
+        # the reference BREAKS right after the residual check (solver.jl:172)
+        # — once converged, no further inner solve or PH update touches the
+        # measured state, so the returned fields are exactly the ones the
+        # exit criterion certified (an unguarded trailing update is bounded
+        # by one inner-solve step + γ_eff·RP, small at convergence, but it
+        # makes the returned state one unmeasured iterate past the record).
+        def _advance(cP):
+            c_in, _ = cP
+            c_new = inner_solve(o.P, c_in, eps_vel)
+            _, _, _, RP2 = strain_RP(c_new.Vx, c_new.Vy, o.P)
+            return c_new, o.P + gamma_eff * RP2
 
-        # Powell–Hestenes pressure update
-        _, _, _, RP2 = strain_RP(c.Vx, c.Vy, o.P)
-        P = o.P + gamma_eff * RP2
+        c, P = lax.cond(err > eps, _advance, lambda cP: cP, (c, o.P))
         return Outer(
             inner=c, P=P, err=err, err_min=err_min, rel_drop=rel, itPH=o.itPH + 1,
             errV0x=errV0x, errV0y=errV0y, errPt0=errPt0,

@@ -13,10 +13,11 @@ The reference app is validated visually; here the oracle is three-fold:
    (air 1e19 / slab 1e23) the discrete solution is famously sensitive to
    the interface viscosity-averaging convention (the Schmeling et al. 2008
    sticky-air benchmark result), and the fused APT center+vertex kernel and
-   DYREL use different vertex interpolations. Measured gap at 50×20: 15%
-   in vmax, with both solutions tightly converged (the APT one to err
-   1e-11 — see the r04 build notes). The check pins sign/structure, not
-   the discretization.
+   DYREL use different vertex interpolations. Measured gap at 50×20: 20%
+   in vmax at DYREL eps=1e-6 (APT converged to err 1e-11 — see the r04
+   build notes; DYREL vmax still creeps toward APT as eps tightens:
+   1.84e-8 @ 1e-5 → 2.01e-8 @ 1e-6 vs APT 2.52e-8). The check pins
+   sign/structure, not the discretization.
 3. physics + frozen goldens: slab tip descends monotonically, sticky air
    stays slow, vmax matches the frozen r04 value.
 """
@@ -149,7 +150,10 @@ def test_sticky_air_subduction_dyrel_vs_apt():
     Vxa, Vya = velocity2vertex(s_apt.V.Vx, s_apt.V.Vy)
     vmax_apt = float(jnp.sqrt(Vxa**2 + Vya**2).max())
 
-    stokes = m.run(nx=nx, ny=ny, nt=1)[0]
+    # eps=1e-6: the returned state is the certified one (reference break-
+    # after-check semantics), so the default 1e-5 leaves ~8% convergence
+    # slack on top of the discretization gap
+    stokes = m.run(nx=nx, ny=ny, nt=1, eps=1.0e-6)[0]
     Vxd, Vyd = velocity2vertex(stokes.V.Vx, stokes.V.Vy)
     vmax_dy = float(jnp.sqrt(Vxd**2 + Vyd**2).max())
 

@@ -28,15 +28,17 @@ def test_volcano2d_dyrel_coupled():
     assert float(info.err) < 1.0e-4
 
     # independent force-balance oracle on the returned (τ, P) with the
-    # solve-time buoyancy: Ry = ∂τyy/∂y + ∂τxy/∂x − ∂P/∂y − ρg̅ must vanish
-    # relative to the buoyancy term (~ρg ≈ 2.6e4 Pa/m). Solver-agnostic —
-    # it needs no viscosity and would catch a wrong converged state no
-    # matter what the solver's internal norm claims.
+    # solve-time buoyancy: Ry = ∂τyy/∂y + ∂τxy/∂x − ∂(P+ΔPψ)/∂y − ρg̅ must
+    # vanish relative to the buoyancy term (~ρg ≈ 2.6e4 Pa/m). Solver-
+    # agnostic — it needs no viscosity and would catch a wrong converged
+    # state no matter what the solver's internal norm claims. The grid MUST
+    # be the model's own (30×25 km, volcano2d.py:139-141): a wrong dy here
+    # mimics a half-ρg "solver bug" (r04 postmortem).
     from justrelax_tpu.core.grid import Geometry
     from justrelax_tpu.models.volcano2d import KM
 
-    geometry = Geometry((16, 8), (100.0 * KM, 50.0 * KM),
-                        origin=(0.0, -45.0 * KM))
+    geometry = Geometry((16, 8), (30.0 * KM, 25.0 * KM),
+                        origin=(0.0, -20.0 * KM))
     inv_dx, inv_dy = 1.0 / geometry.di[0], 1.0 / geometry.di[1]
     tyy, txy, P = (np.asarray(stokes.tau.yy), np.asarray(stokes.tau.xy),
                    np.asarray(stokes.P))
@@ -47,7 +49,10 @@ def test_volcano2d_dyrel_coupled():
           - 0.5 * (rho_gy[:, 1:] + rho_gy[:, :-1]))
     scale = float(np.abs(rho_gy).mean())
     rms = float(np.linalg.norm(Ry) / np.sqrt(Ry.size))
-    assert rms < 1.0e-3 * scale, (rms, scale)
+    # DYREL exits on the reference's relative criterion (errV/errV0 ≤ 1e-4,
+    # errV0 ≈ 4e3 here) → absolute residual ≤ ~0.5 Pa/m ≈ 2e-5·ρg̅;
+    # assert an order looser
+    assert rms < 2.0e-4 * scale, (rms, scale)
 
     Vy = np.asarray(stokes.V.Vy)
     cmyr = 100.0 * YR
