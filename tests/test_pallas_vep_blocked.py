@@ -100,6 +100,21 @@ def test_blocked_matches_resident_single_pass_deep():
         assert d <= 2e-15, f"{nm}: {d}"
 
 
+@pytest.mark.slow
+def test_blocked_matches_resident_k12():
+    """k=12 (H=24) — the deep-temporal-reuse corner of the r04 on-chip
+    config sweep (scripts/sweep_blocked_vep.py) — satisfies the same halo
+    invariant: owned rows equal the resident kernel over a full 12-iteration
+    pass at the minimum legal R = 2H (n chosen so A = n + 2 = 144 splits
+    into 3 exact R=48 blocks — smaller n rounds R below 2H and the chooser
+    rejects the config)."""
+    res, blk = _run_both(142, None, None, None, 12,
+                         row_block=48, iters_per_pass=12)
+    for nm, a, b in zip(NAMES, res, blk):
+        d = float(jnp.abs(a - b).max())
+        assert d <= 2e-15, f"{nm}: {d}"
+
+
 def test_blocked_matches_resident_powerlaw_noslip():
     """The halo analysis holds with every capability active: no-slip walls
     (global-row bands under x_off), the power-law continuation and a T
