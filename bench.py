@@ -22,10 +22,11 @@ family 11 of 12 erased every already-measured row AND the golden tier):
 - the process exits 0 with the final single JSON line on stdout unless the
   harness itself is broken.
 
-Prints ONE JSON line. Headline metric = flagship 2D VEP T_eff; per-family
-rows under "families"; golden outcomes under "tpu_goldens"; AOT compile
-table under "pallas_preflight"; vs_baseline = T_eff / HBM peak (v5e:
-819 GB/s).
+Prints ONE JSON line. Headline metric = flagship 2D VEP T_eff at the
+production grid (1024² f32) through the auto-dispatched fast path, with
+the same-size XLA fallback alongside; per-family rows under "families";
+golden outcomes under "tpu_goldens"; AOT compile table under
+"pallas_preflight"; vs_baseline = T_eff / HBM peak (v5e: 819 GB/s).
 
 Env overrides: BENCH_FAMILIES=ve2d,vep2d,...  BENCH_GOLDENS=default|full|off
 BENCH_REPEATS=3
@@ -266,7 +267,7 @@ def run_goldens(level="default"):
 
 
 DEFAULT_FAMILIES = (
-    "ve2d,vep2d,thermal2d,ve3d,ve3d_canvas,vep3d,"
+    "ve2d,vep2d,vep2d_1024,thermal2d,ve3d,ve3d_canvas,vep3d,"
     "pallas_ve2d,pallas_ve2d_blocked,pallas_ve3d_blocked,"
     "pallas_vep2d,pallas_vep2d_blocked,pallas_thermal2d"
 )
@@ -301,22 +302,25 @@ def main():
 
     ok_rows = {k: v for k, v in results.items() if "T_eff_GBs" in v}
 
-    # Two headline numbers so a VMEM-resident chunk figure is never mistaken
-    # for the production bar:
-    # - "production": the flagship multi-phase VEP iteration through the XLA
-    #   streaming path — what a production-scale coupled app pays;
-    # - "best_effective": the best Pallas chunk row (T_eff is *effective*:
-    #   HBM is touched once per chunk/pass, so it may exceed HBM peak).
-    prod = (ok_rows.get("vep2d") or ok_rows.get("ve2d")
-            or next(iter(ok_rows.values()), None))
+    # Headline = the flagship iteration AT PRODUCTION GRID SIZE (1024² f32,
+    # past VMEM residency) through the path solve_vep(use_pallas=True)
+    # actually dispatches there — the grid-blocked streaming kernel — with
+    # the XLA fallback at the same size recorded alongside ("xla_fallback").
+    # The r03 bench compared vep2d@512² (VMEM-friendlier, ~0.83×) against
+    # the blocked kernel@1024², which silently mixed scales.
+    # "best_effective" stays: the best Pallas chunk row (effective T_eff —
+    # HBM touched once per chunk/pass — may exceed HBM peak).
+    prod = (ok_rows.get("pallas_vep2d_blocked") or ok_rows.get("vep2d_1024")
+            or ok_rows.get("vep2d") or next(iter(ok_rows.values()), None))
     pallas_rows = {k: v for k, v in ok_rows.items() if k.startswith("pallas_")}
     best = max(pallas_rows.items(), key=lambda kv: kv[1]["T_eff_GBs"])[0] \
         if pallas_rows else None
     payload = {
-        "metric": "vep2d_pt_iteration_T_eff_production",
+        "metric": "vep2d_production_1024_fastpath_T_eff",
         "value": prod["T_eff_GBs"] if prod else None,
         "unit": "GB/s",
         "vs_baseline": prod["vs_hbm_peak"] if prod else None,
+        "xla_fallback_1024": ok_rows.get("vep2d_1024"),
         "best_effective": (
             {"family": best, **results[best]} if best else None
         ),

@@ -106,14 +106,18 @@ def _rebuild_coeffs(get, names, sget, snames) -> CanvasCoeffs3D:
 
 def choose_blocking_3d(nx, ny, nz, n_const, itemsize=4,
                        plane_block=None, iters_per_pass=None,
-                       budget=84 * 1024 * 1024, n_slots=2, n_derived=0):
+                       budget=105 * 1024 * 1024, n_slots=2, n_derived=0):
     """Pick (R, k, n_blocks, X_pad, W) for the 3D blocked kernel.
 
     3D windows are fat (a halo PLANE costs a full (Y, Z) canvas), so the
     chooser scores candidates by modeled HBM traffic per iteration
     ((n_tot·W/R + 10)/k plane-equivalents) subject to the VMEM budget:
-    double-buffered scratch (n_slots·n_tot·W planes) + pipelined output
-    (2·10·R) + ~16 in-flight value planes.
+    scratch (n_slots·n_tot·W planes) + pipelined output (2·10·R) + 46·W
+    in-flight/register-spill planes. The 46·W term is calibrated on two
+    exact r04 compiler data points at 126³ (n_tot=21, serial): W=25
+    predicted 115.94 MB vs the compiler's reported 115.98 (OOM over the
+    110 MB scoped limit), W=22 predicted 104.6 MB and compiles — the same
+    spill phenomenology as the 2D VEP chooser's 90·W rows.
     """
     X = nx + 2
     y_pad = -((ny + 2) // -8) * 8
@@ -138,7 +142,7 @@ def choose_blocking_3d(nx, ny, nz, n_const, itemsize=4,
             if X_pad < W or R < H or (n_blocks - 1) * R < 2 * H:
                 continue
             vmem = (
-                (n_slots * n_tot + n_derived + 24) * W + 2 * _N_CARRY * R
+                (n_slots * n_tot + n_derived + 46) * W + 2 * _N_CARRY * R
             ) * plane
             if vmem > budget:
                 continue
@@ -272,9 +276,13 @@ def stokes3d_chunk_blocked(
     else:
         const_arrays, names, scalars, snames = _flatten_coeffs(co)
         n_derived = 0
+    # serial (default) mode single-buffers the scratch window — budget the
+    # chooser accordingly (an n_slots=2 budget halves the feasible W and
+    # drives R down to 10 at 126³: W/R = 2.2× redundant compute, measured
+    # r04 at 811 µs/iter vs the XLA canvas path's 492)
     blocking = choose_blocking_3d(
         nx, ny, nz, len(const_arrays), itemsize, plane_block, iters_per_pass,
-        n_derived=n_derived,
+        n_slots=2 if pipeline else 1, n_derived=n_derived,
     )
     if blocking is None:
         raise ValueError(f"no 3D blocked configuration fits VMEM for {nx}x{ny}x{nz}")

@@ -278,6 +278,7 @@ def solve_dyrel(
     viscosity_relaxation: float = 1.0e-2,
     viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
     T: Optional[Array] = None,
+    alpha_dT: Optional[Array] = None,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """DYREL solve (reference ``solve_DYREL!``, solver.jl:44-293).
 
@@ -286,6 +287,11 @@ def solve_dyrel(
     compute_stress_viscosity_DRYEL!, stress_kernels.jl:95-135) and the
     Gershgorin bounds / damping matrices are re-evaluated at every residual
     check (solver.jl:254).
+
+    ``alpha_dT = α·ΔT`` (cell-centered) adds the Kiss et al. (2023)
+    thermal-stress pressure source α·ΔT/dt to the pressure residual
+    (reference _compute_RP!, DYREL/pressure_kernels.jl:113 — the args.ΔT
+    path the thermal-stress magma-chamber miniapp drives).
     """
     nx, ny = stokes.P.shape
     dtype = stokes.P.dtype
@@ -333,6 +339,9 @@ def solve_dyrel(
 
     EII_v = _clamped_av(EII)
 
+    # thermal-stress pressure source α·ΔT/dt (pressure_kernels.jl:113)
+    rp_src = Q / dt if alpha_dT is None else (Q + alpha_dT) / dt
+
     def strain_RP(Vx, Vy, P):
         exx = (Vx[1:, 1:-1] - Vx[:-1, 1:-1]) * inv_dx
         eyy = (Vy[1:-1, 1:] - Vy[1:-1, :-1]) * inv_dy
@@ -343,7 +352,7 @@ def solve_dyrel(
             (Vx[:, 1:] - Vx[:, :-1]) * inv_dy_v
             + (Vy[1:, :] - Vy[:-1, :]) * inv_dx_v
         )
-        RP = -div - (P - P0) / etab + Q / dt
+        RP = -div - (P - P0) / etab + rp_src
         return exx, eyy, exy, RP
 
     def stress_pass(exx, eyy, exy, P, lam, lam_v, eta_c_, eta_v_):

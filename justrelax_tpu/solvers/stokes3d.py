@@ -58,10 +58,15 @@ def solve_ve_3d(
     residual stall.
 
     ``use_pallas=True`` runs each ``nout``-iteration chunk through the
-    temporally-blocked x-slab streaming kernel
-    (ops/pallas_stokes3d_blocked.py) — measured on v5e at 126³ f32:
-    384 µs/iter = 0.89× HBM peak on the Räss traffic convention, vs the
-    slice/pad XLA path's 529 µs (0.65×). Requires a uniform serial grid,
+    fast path picked BY ON-CHIP MEASUREMENT (docs/performance.md, "3D
+    measurement record"): the collocated-canvas XLA iteration
+    (ops/stokes3d_canvas.py) — 492 µs/iter at 126³ f32 on v5e (0.70× HBM
+    peak) vs the slice/pad default's 534 (0.64×). The temporally-blocked
+    Pallas x-slab kernel (ops/pallas_stokes3d_blocked.py) stays available
+    as ``use_pallas="blocked"``: its r03 0.89×-peak measurement did NOT
+    reproduce in r04 (582-811 µs serial, 505 pipelined — the ~46-plane/W
+    VMEM spill of the 3D VE body caps the window at W≈22, forcing
+    1.6-2.2× redundant halo compute). Requires a uniform serial grid,
     all-free-slip BCs, and the default residual/pressure options; residual
     norms are evaluated once per chunk from the streamed state (one velocity
     update later than the XLA path's in-iteration residuals — same
@@ -164,16 +169,25 @@ def solve_ve_3d(
 
     def body(c: C):
         if use_pallas:
-            from justrelax_tpu.ops.pallas_stokes3d_blocked import (
-                stokes3d_chunk_blocked,
-            )
-
             Vx, Vy, Vz = c.V
             packed = tuple(pack_carry(Vx, Vy, Vz, c.P, *c.tau))
-            out = stokes3d_chunk_blocked(
-                packed, co_pallas, inv_di, nout_i,
-                interpret=jax.default_backend() != "tpu",
-            )
+            if use_pallas == "blocked":
+                from justrelax_tpu.ops.pallas_stokes3d_blocked import (
+                    stokes3d_chunk_blocked,
+                )
+
+                out = stokes3d_chunk_blocked(
+                    packed, co_pallas, inv_di, nout_i,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                from justrelax_tpu.ops.stokes3d_canvas import (
+                    stokes3d_chunk_canvas,
+                )
+
+                out = stokes3d_chunk_canvas(
+                    packed, co_pallas, inv_di, nout_i
+                )
             Vx, Vy, Vz, P, *tau6 = unpack_carry(jnp.stack(out), nx, ny, nz)
             # residuals from the streamed state (post-update convention)
             grad_V = k3.compute_grad_V_3d(Vx, Vy, Vz, inv_di)

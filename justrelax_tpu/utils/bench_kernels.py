@@ -869,12 +869,15 @@ def ve3d_canvas(n=126, dtype=jnp.float32):
     return step, carry, co, 35 * n_cells * 4, n_cells
 
 
-def pallas_ve3d_blocked(n=126, dtype=jnp.float32):
+def pallas_ve3d_blocked(n=126, dtype=jnp.float32, plane_block=None,
+                        iters_per_pass=None, pipeline=False):
     """Temporally-blocked x-slab streaming 3D kernel
     (ops/pallas_stokes3d_blocked.py) — same physics config and 35·N·4 B
-    traffic convention as ``ve3d``/``ve3d_canvas``. Serial-DMA (unpipelined)
-    form: measured 384 µs/iter at 126³ on v5e = 0.89× HBM peak vs the XLA
-    slice/pad path's 0.65×."""
+    traffic convention as ``ve3d``/``ve3d_canvas``. Measurement history at
+    126³ f32 on v5e is in docs/performance.md ("3D blocked kernel"):
+    the r03 0.89×-peak claim did NOT reproduce in r04 (the chooser was
+    budgeting double-buffered scratch for the serial path, halving W and
+    driving redundant compute to W/R = 2.2)."""
     from justrelax_tpu.core.coeffs import PTStokesCoeffs
     from justrelax_tpu.core.grid import Geometry
     from justrelax_tpu.ops.pallas_stokes3d_blocked import stokes3d_chunk_blocked
@@ -912,15 +915,27 @@ def pallas_ve3d_blocked(n=126, dtype=jnp.float32):
     carry = tuple(pack_carry(*fields))
 
     def step(n_iter, carry, consts):
-        return stokes3d_chunk_blocked(carry, consts, inv_di, n_iter)
+        return stokes3d_chunk_blocked(
+            carry, consts, inv_di, n_iter, plane_block=plane_block,
+            iters_per_pass=iters_per_pass, pipeline=pipeline)
 
     n_cells = n * n * n
     return step, carry, co, 35 * n_cells * 4, n_cells
 
 
+def vep2d_1024(dtype=jnp.float32):
+    """The flagship XLA iteration at PRODUCTION grid size (past VMEM
+    residency): the fallback path a user gets with use_pallas=False at
+    1024². The `vep2d` row (512²) stays for cross-round continuity; the
+    1024² pair (this row vs pallas_vep2d_blocked) is the dispatch-decision
+    record (docs/performance.md, blocked-VEP measurement history)."""
+    return vep2d(n=1024, dtype=dtype)
+
+
 FAMILIES = {
     "ve2d": ve2d,
     "vep2d": vep2d,
+    "vep2d_1024": vep2d_1024,
     "thermal2d": thermal2d,
     "ve3d": ve3d,
     "ve3d_canvas": ve3d_canvas,

@@ -1,8 +1,8 @@
 """Collocated-canvas 3D iteration (XLA roll+mask) == serial op composition.
 
 The canvas formulation (ops/stokes3d_canvas.py) exists for TPU fusion
-quality; its correctness oracle is the production slice/pad kernel chain,
-exactly as for the Pallas 3D kernels (tests/test_pallas3d.py).
+quality; its correctness oracle is the production slice/pad kernel chain
+(`_serial_iteration` below).
 """
 
 import math
@@ -24,9 +24,58 @@ from justrelax_tpu.ops.stokes3d_canvas import (
     unpack_carry,
     ve3d_canvas_coefficients,
 )
-from tests.test_pallas3d import _random_state, _serial_iteration
-
 NAMES = ("Vx", "Vy", "Vz", "P", "txx", "tyy", "tzz", "tyz", "txz", "txy")
+
+
+def _random_state(ni, seed=0):
+    nx, ny, nz = ni
+    rng = np.random.default_rng(seed)
+
+    def r(*shape):
+        return jnp.asarray(rng.standard_normal(shape))
+
+    Vx = r(nx + 1, ny + 2, nz + 2)
+    Vy = r(nx + 2, ny + 1, nz + 2)
+    Vz = r(nx + 2, ny + 2, nz + 1)
+    P = r(nx, ny, nz)
+    txx, tyy, tzz = r(nx, ny, nz), r(nx, ny, nz), r(nx, ny, nz)
+    tyz = r(nx, ny + 1, nz + 1)
+    txz = r(nx + 1, ny, nz + 1)
+    txy = r(nx + 1, ny + 1, nz)
+    eta = jnp.exp(0.5 * r(nx, ny, nz))
+    fx, fy, fz = r(nx, ny, nz), r(nx, ny, nz), r(nx, ny, nz)
+    return (Vx, Vy, Vz, P, txx, tyy, tzz, tyz, txz, txy), (eta, fx, fy, fz)
+
+
+def _serial_iteration(fields, consts, geometry, pt):
+    """One viscous-limit PT iteration via the production slice/pad kernels."""
+    Vx, Vy, Vz, P, txx, tyy, tzz, tyz, txz, txy = fields
+    eta, fx, fy, fz = consts
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    eta_tau = maxloc(eta, window=1)
+    Z = jnp.zeros_like(P)
+    G = jnp.full_like(P, jnp.inf)
+    K = jnp.full_like(P, jnp.inf)
+    dt = jnp.asarray(jnp.inf)
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True,
+                        front=True, back=True)
+    )
+    grad_V = k3.compute_grad_V_3d(Vx, Vy, Vz, inv_di)
+    _, P = compute_P(P, Z, grad_V, Z, eta_tau, K, G, dt, pt.r, pt.theta_dtau)
+    eps = k3.compute_strain_rate_3d(grad_V, Vx, Vy, Vz, inv_di)
+    tau = k3.compute_tau_ve_3d(
+        (txx, tyy, tzz, tyz, txz, txy),
+        (Z, Z, Z, jnp.zeros_like(tyz), jnp.zeros_like(txz),
+         jnp.zeros_like(txy)),
+        eps, eta, G, pt.theta_dtau, dt,
+    )
+    Vx, Vy, Vz, *_ = k3.compute_V_3d(
+        Vx, Vy, Vz, P, tau, fx, fy, fz, eta_tau, pt.etadtau, inv_di
+    )
+    Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), bc)
+    txx, tyy, tzz, tyz, txz, txy = tau
+    return Vx, Vy, Vz, P, txx, tyy, tzz, tyz, txz, txy
 
 
 @pytest.mark.parametrize("ni", [(14, 10, 12), (22, 9, 7)])
