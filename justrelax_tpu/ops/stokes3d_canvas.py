@@ -89,19 +89,52 @@ def unpack_carry(C, nx, ny, nz):
 
 __all__ = [
     "CanvasCoeffs3D",
+    "LeanConsts3D",
     "ve3d_canvas_coefficients",
+    "lean_canvas_consts",
     "iteration3d_canvas",
     "stokes3d_chunk_canvas",
+    "stokes3d_chunk_canvas_lean",
+    "set_shift_impl",
     "pack_carry",
     "unpack_carry",
 ]
 
 
+# Neighbor shifts. "roll" lowers to concatenate(slice, slice); "slice" to
+# slice(pad) (XLA folds it to one Pad op) — zero-filled wrap slots. The two
+# differ only in canvas slots that are never consumed (every shifted read is
+# inside jnp.where(mask, ...) whose mask excludes wrap-sourced slots), so
+# iteration results are bitwise identical (tests/test_stokes3d_canvas.py);
+# the switch exists because concatenate and pad fuse differently on XLA:TPU
+# and the winner is decided by on-chip measurement (docs/performance.md).
+_SHIFT_IMPL = "roll"
+
+
+def set_shift_impl(mode: str):
+    """Select the neighbor-shift lowering: "roll" or "slice" (trace-time)."""
+    global _SHIFT_IMPL
+    assert mode in ("roll", "slice")
+    _SHIFT_IMPL = mode
+
+
 def _sm1(A, ax):
+    if _SHIFT_IMPL == "slice":
+        pads = [(0, 0)] * A.ndim
+        pads[ax] = (0, 1)
+        sl = [slice(None)] * A.ndim
+        sl[ax] = slice(1, None)
+        return jnp.pad(A, pads)[tuple(sl)]
     return jnp.roll(A, -1, axis=ax)
 
 
 def _sp1(A, ax):
+    if _SHIFT_IMPL == "slice":
+        pads = [(0, 0)] * A.ndim
+        pads[ax] = (1, 0)
+        sl = [slice(None)] * A.ndim
+        sl[ax] = slice(None, -1)
+        return jnp.pad(A, pads)[tuple(sl)]
     return jnp.roll(A, 1, axis=ax)
 
 
@@ -359,6 +392,96 @@ def stokes3d_chunk_canvas(carry, co: CanvasCoeffs3D, inv_di, nout, *,
     nx, ny, nz = X[0] - 2, X[1] - 2, X[2] - 2
 
     def body(_, c):
+        return iteration3d_canvas(
+            c, co, inv_di, nx=nx, ny=ny, nz=nz, free_slip=free_slip
+        )
+
+    return lax.fori_loop(0, nout, body, carry)
+
+
+class LeanConsts3D(NamedTuple):
+    """Minimal HBM-resident constants for the lean viscous canvas chunk.
+
+    The precomputed viscous :class:`CanvasCoeffs3D` streams 11 coefficient
+    canvases from HBM per iteration (c3, b_c, b_e×3, inv_eta×3, f×3 — 92 MB
+    at 126³ f32, 35% of the iteration's traffic). Here only the PHYSICS
+    canvases are stored — ``eta``, ``eta_tau``, nonzero body-force cells —
+    and every coefficient is re-derived inside the loop body (a handful of
+    VPU ops per cell; the iteration is memory-bound, so recompute is free).
+    """
+
+    eta: Array                    # cell canvas, edge-replicate padded
+    eta_tau: Array                # maxloc(eta) cell canvas, edge padded
+    f: tuple                      # per-axis body-force CELL canvas or None
+
+
+def lean_canvas_consts(eta, eta_tau, fx=None, fy=None, fz=None
+                       ) -> LeanConsts3D:
+    """Build :class:`LeanConsts3D` from (nx, ny, nz) cell fields (viscous
+    incompressible limit of :func:`ve3d_canvas_coefficients`)."""
+    p1 = ((1, 1), (1, 1), (1, 1))
+    f = tuple(None if c is None else jnp.pad(c, p1, mode="edge")
+              for c in (fx, fy, fz))
+    return LeanConsts3D(
+        eta=jnp.pad(eta, p1, mode="edge"),
+        eta_tau=jnp.pad(eta_tau, p1, mode="edge"),
+        f=f,
+    )
+
+
+def _derive_coeffs_lean(lc: LeanConsts3D, P, r, theta_dtau, etadtau,
+                        psi_from_eta=False) -> CanvasCoeffs3D:
+    """Re-derive the viscous coefficient canvases INSIDE the loop body.
+
+    XLA's WhileLoopInvariantCodeMotion would hoist these (loop-invariant)
+    derivations out of the ``fori_loop`` and materialize them in HBM —
+    silently restoring the precomputed path's traffic. The derivation is
+    therefore threaded through a carry-dependent unit scalar ``s`` built
+    from a NaN-sensitive self-comparison of the pressure canvas: XLA cannot
+    prove ``P == P`` (NaN), so ``s`` — and everything derived from it —
+    stays inside the body and fuses with its consumers. ``s == 1.0`` at
+    runtime, and ``x * 1.0`` is exact, so results are bitwise identical to
+    the precomputed-coefficient path (asserted in
+    tests/test_stokes3d_canvas.py).
+    """
+    dtype = lc.eta.dtype
+    p11 = P[1, 1, 1]
+    s = jnp.where(p11 == p11, jnp.asarray(1.0, dtype), jnp.asarray(2.0, dtype))
+    eta_c = lc.eta * s
+    etat_c = lc.eta_tau * s
+    dtau_r = 1.0 / (theta_dtau + 1.0)
+    a_c = 1.0 - dtau_r
+    b_c = 2.0 * eta_c * dtau_r
+    edge_axes = ((1, 2), (0, 2), (0, 1))
+    b_e = tuple(2.0 * _edge_avg(eta_c, *ax) * dtau_r for ax in edge_axes)
+    inv_eta = tuple(
+        etadtau / (0.5 * (etat_c + _sm1(etat_c, ax))) for ax in range(3)
+    )
+    psi_c = (eta_c if psi_from_eta else etat_c) * (r / theta_dtau)
+    f = tuple(
+        0.0 if c is None else 0.5 * (c * s + _sm1(c * s, ax))
+        for ax, c in enumerate(lc.f)
+    )
+    return CanvasCoeffs3D(
+        c1=None, c2=None, c3=psi_c, a_c=a_c, b_c=b_c, d_c=None,
+        a_e=(a_c, a_c, a_c), b_e=b_e, d_e=None, inv_eta=inv_eta, f=f,
+    )
+
+
+def stokes3d_chunk_canvas_lean(carry, lc: LeanConsts3D, r, theta_dtau,
+                               etadtau, inv_di, nout, *, free_slip=True,
+                               psi_from_eta=False):
+    """Lean-consts variant of :func:`stokes3d_chunk_canvas`: identical
+    physics, bitwise-equal results, ~3 constant canvases streamed per
+    iteration instead of 11. ``r``/``theta_dtau``/``etadtau`` must be
+    Python floats (static) so the scalar algebra matches the precomputed
+    path bit for bit."""
+    X = carry[3].shape
+    nx, ny, nz = X[0] - 2, X[1] - 2, X[2] - 2
+
+    def body(_, c):
+        co = _derive_coeffs_lean(lc, c[3], r, theta_dtau, etadtau,
+                                 psi_from_eta=psi_from_eta)
         return iteration3d_canvas(
             c, co, inv_di, nx=nx, ny=ny, nz=nz, free_slip=free_slip
         )

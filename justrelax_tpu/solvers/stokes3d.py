@@ -30,12 +30,73 @@ Array = Any
 __all__ = ["solve_ve_3d"]
 
 
+def _static_all_inf(x):
+    """True iff ``x`` is concrete (not traced) and everywhere +-inf."""
+    try:
+        import numpy as _np
+        return bool(_np.all(_np.isinf(_np.asarray(x))))
+    except Exception:
+        return False
+
+
+def _static_all_zero(x):
+    try:
+        import numpy as _np
+        return bool(_np.all(_np.asarray(x) == 0))
+    except Exception:
+        return False
+
+
+def solve_ve_3d(
+    stokes: StokesState,
+    pt_stokes: PTStokesCoeffs,
+    geometry,
+    flow_bc: VelocityBoundaryConditions,
+    rho_g,
+    G: Array,
+    K: Array,
+    dt,
+    iter_max: int = 10_000,
+    nout: int = 500,
+    mean_free_RP: bool = False,
+    boundary_shear: bool = False,
+    alpha_dT=None,
+    use_pallas: bool = False,
+    pallas_lean=None,
+) -> Tuple[StokesState, StokesSolveInfo]:
+    """Thin static-option resolver over the jitted solver body (see
+    :func:`_solve_ve_3d` for the physics/docs). ``pallas_lean=None``
+    auto-enables the lean-consts canvas chunk (stream η/ητ/ρg only,
+    re-derive the coefficient canvases in the loop body —
+    ops/stokes3d_canvas.py::stokes3d_chunk_canvas_lean) when the physics is
+    statically the viscous incompressible limit: G, K and dt all concretely
+    ∞. Traced inputs or finite moduli fall back to the precomputed
+    coefficient canvases (always correct)."""
+    lean_f = (True, True, True)
+    if pallas_lean is None:
+        pallas_lean = (
+            use_pallas is True
+            and _static_all_inf(G) and _static_all_inf(K)
+            and _static_all_inf(dt)
+        )
+    if pallas_lean:
+        lean_f = tuple(not _static_all_zero(f) for f in rho_g)
+    return _solve_ve_3d(
+        stokes, pt_stokes, geometry, flow_bc, tuple(rho_g), G, K, dt,
+        iter_max=iter_max, nout=nout, mean_free_RP=mean_free_RP,
+        boundary_shear=boundary_shear, alpha_dT=alpha_dT,
+        use_pallas=use_pallas, pallas_lean=bool(pallas_lean),
+        lean_f_nonzero=lean_f,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("geometry", "flow_bc", "iter_max", "nout", "mean_free_RP",
-                     "boundary_shear", "use_pallas"),
+                     "boundary_shear", "use_pallas", "pallas_lean",
+                     "lean_f_nonzero"),
 )
-def solve_ve_3d(
+def _solve_ve_3d(
     stokes: StokesState,
     pt_stokes: PTStokesCoeffs,
     geometry,
@@ -50,6 +111,8 @@ def solve_ve_3d(
     boundary_shear: bool = False,
     alpha_dT=None,
     use_pallas: bool = False,
+    pallas_lean: bool = False,
+    lean_f_nonzero=(True, True, True),
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """``mean_free_RP`` deflates the constant pressure-nullspace mode: with
     velocity imposed on every boundary, discretely incompatible boundary data
@@ -103,19 +166,32 @@ def solve_ve_3d(
                 or flow_bc.no_slip.any():
             raise ValueError("use_pallas supports all-free-slip BCs only")
         from justrelax_tpu.ops.stokes3d_canvas import (
+            lean_canvas_consts,
             pack_carry,
             unpack_carry,
             ve3d_canvas_coefficients,
         )
 
-        # full VE/compressible coefficient canvases (always correct; the
-        # viscous limit just carries trivial c1/c2/a/d canvases — ~23 vs 11
-        # streamed planes, still far below the XLA path's ~53)
-        co_pallas = ve3d_canvas_coefficients(
-            eta, eta_tau, r, theta_dtau, etadtau,
-            fx=fx, fy=fy, fz=fz, psi_eta=eta,
-            G=G, K=K, P0=P0, Q=Q, tau_o=tau_o, dt=dt,
-        )
+        if pallas_lean and use_pallas is True:
+            # statically-viscous limit (wrapper-verified G/K/dt all inf):
+            # stream only η, ητ and the nonzero body-force canvases;
+            # coefficient canvases are re-derived inside the loop body
+            lean_consts = lean_canvas_consts(
+                eta, eta_tau,
+                fx=fx if lean_f_nonzero[0] else None,
+                fy=fy if lean_f_nonzero[1] else None,
+                fz=fz if lean_f_nonzero[2] else None,
+            )
+            co_pallas = None
+        else:
+            # full VE/compressible coefficient canvases (always correct; the
+            # viscous limit just carries trivial c1/c2/a/d canvases — ~23 vs
+            # 11 streamed planes, still far below the XLA path's ~53)
+            co_pallas = ve3d_canvas_coefficients(
+                eta, eta_tau, r, theta_dtau, etadtau,
+                fx=fx, fy=fy, fz=fz, psi_eta=eta,
+                G=G, K=K, P0=P0, Q=Q, tau_o=tau_o, dt=dt,
+            )
 
     class C(NamedTuple):
         V: Tuple
@@ -179,6 +255,15 @@ def solve_ve_3d(
                 out = stokes3d_chunk_blocked(
                     packed, co_pallas, inv_di, nout_i,
                     interpret=jax.default_backend() != "tpu",
+                )
+            elif pallas_lean:
+                from justrelax_tpu.ops.stokes3d_canvas import (
+                    stokes3d_chunk_canvas_lean,
+                )
+
+                out = stokes3d_chunk_canvas_lean(
+                    packed, lean_consts, r, theta_dtau, etadtau,
+                    inv_di, nout_i, psi_from_eta=True,
                 )
             else:
                 from justrelax_tpu.ops.stokes3d_canvas import (

@@ -821,33 +821,46 @@ def pallas_ve2d_blocked(n=1024, dtype=jnp.float32):
     return step, carry, consts, 16 * n_cells * 4, n_cells
 
 
-def ve3d_canvas(n=126, dtype=jnp.float32):
+def ve3d_canvas(n=126, dtype=jnp.float32, lean=False, shift="roll"):
     """Collocated-canvas 3D VE iteration (ops/stokes3d_canvas.py) — the
     roll+mask XLA formulation racing the slice/pad ``ve3d`` family. Same
     35·N·4 B traffic convention (same physics config, same necessary
-    traffic) so the two rows are directly comparable."""
+    traffic) so the two rows are directly comparable.
+
+    ``lean=True`` streams only the physics canvases (η, ητ, fz) and
+    re-derives the 11 coefficient canvases inside the loop body (bitwise
+    identical; see stokes3d_chunk_canvas_lean). ``shift`` picks the
+    neighbor-shift lowering ("roll" → concatenate, "slice" → pad)."""
     from justrelax_tpu.core.coeffs import PTStokesCoeffs
     from justrelax_tpu.core.grid import Geometry
     from justrelax_tpu.ops.stencil import maxloc
+    from justrelax_tpu.ops import stokes3d_canvas as c3
     from justrelax_tpu.ops.stokes3d_canvas import (
+        lean_canvas_consts,
         pack_carry,
         stokes3d_chunk_canvas,
+        stokes3d_chunk_canvas_lean,
         ve3d_canvas_coefficients,
     )
 
+    c3.set_shift_impl(shift)
     ni = (n, n, n)
     geometry = Geometry(ni, (1.0, 1.0, 1.0))
     inv_di = tuple(1.0 / d for d in geometry.di)
     pt = PTStokesCoeffs.make(geometry.li, geometry.di)
+    r, theta_dtau, etadtau = (
+        float(pt.r), float(pt.theta_dtau), float(pt.etadtau))
     rng = np.random.default_rng(0)
     eta = jnp.asarray(np.exp(0.3 * rng.normal(size=ni)), dtype)
     fz = jnp.asarray(rng.normal(size=ni), dtype)
     Z3 = jnp.zeros(ni, dtype)
     eta_tau = maxloc(eta, window=1)
-    co = ve3d_canvas_coefficients(
-        eta, eta_tau, float(pt.r), float(pt.theta_dtau), float(pt.etadtau),
-        fx=Z3, fy=Z3, fz=fz,
-    )
+    if lean:
+        co = lean_canvas_consts(eta, eta_tau, fz=fz)
+    else:
+        co = ve3d_canvas_coefficients(
+            eta, eta_tau, r, theta_dtau, etadtau, fx=Z3, fy=Z3, fz=fz,
+        )
     co = jax.tree.map(
         lambda x: x.astype(dtype) if hasattr(x, "astype") else x, co
     )
@@ -862,8 +875,13 @@ def ve3d_canvas(n=126, dtype=jnp.float32):
     )
     carry = tuple(pack_carry(*fields))
 
-    def step(n_iter, carry, consts):
-        return stokes3d_chunk_canvas(carry, consts, inv_di, n_iter)
+    if lean:
+        def step(n_iter, carry, consts):
+            return stokes3d_chunk_canvas_lean(
+                carry, consts, r, theta_dtau, etadtau, inv_di, n_iter)
+    else:
+        def step(n_iter, carry, consts):
+            return stokes3d_chunk_canvas(carry, consts, inv_di, n_iter)
 
     n_cells = n * n * n
     return step, carry, co, 35 * n_cells * 4, n_cells

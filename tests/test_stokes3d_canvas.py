@@ -165,3 +165,108 @@ def test_canvas_matches_serial_ve_compressible():
             np.asarray(a), np.asarray(b), rtol=0, atol=2e-12,
             err_msg=f"canvas VE mismatch in {name}",
         )
+
+
+def test_lean_consts_bitwise_equal_precomputed():
+    """The lean-consts chunk (η/ητ/f streamed, coefficients re-derived
+    inside the loop body behind the anti-LICM carry scalar) is BITWISE
+    equal to the precomputed-coefficient chunk — the in-body derivation
+    mirrors ve3d_canvas_coefficients' scalar algebra exactly and the unit
+    scalar multiplies are exact."""
+    from justrelax_tpu.ops.stokes3d_canvas import (
+        lean_canvas_consts,
+        stokes3d_chunk_canvas_lean,
+    )
+
+    ni = (14, 10, 12)
+    geometry = Geometry(ni, (1.0, 1.3, 0.8))
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di,
+                             CFL=0.9 / math.sqrt(3.1))
+    r, theta_dtau, etadtau = (
+        float(pt.r), float(pt.theta_dtau), float(pt.etadtau))
+    fields, (eta, fx, fy, fz) = _random_state(ni, seed=3)
+    eta_tau = maxloc(eta, window=1)
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    carry = tuple(pack_carry(*fields))
+
+    co = ve3d_canvas_coefficients(
+        eta, eta_tau, r, theta_dtau, etadtau,
+        fx=jnp.zeros_like(fz), fy=jnp.zeros_like(fz), fz=fz,
+    )
+    want = stokes3d_chunk_canvas(carry, co, inv_di, 5)
+
+    lc = lean_canvas_consts(eta, eta_tau, fz=fz)
+    got = stokes3d_chunk_canvas_lean(
+        carry, lc, r, theta_dtau, etadtau, inv_di, 5)
+
+    for name, a, b in zip(NAMES, want, got):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"lean-consts mismatch in {name}",
+        )
+
+
+def test_shift_impl_slice_bitwise_equal_roll():
+    """pad+slice neighbor shifts == roll shifts, bitwise: wrap-sourced
+    slots are never consumed (every shifted read sits inside a masked
+    where), so the lowering choice cannot change results."""
+    from justrelax_tpu.ops import stokes3d_canvas as c3
+
+    ni = (14, 10, 12)
+    geometry = Geometry(ni, (1.0, 1.3, 0.8))
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di,
+                             CFL=0.9 / math.sqrt(3.1))
+    fields, (eta, fx, fy, fz) = _random_state(ni, seed=11)
+    eta_tau = maxloc(eta, window=1)
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    carry = tuple(pack_carry(*fields))
+
+    outs = {}
+    try:
+        for mode in ("roll", "slice"):
+            c3.set_shift_impl(mode)
+            co = ve3d_canvas_coefficients(
+                eta, eta_tau, float(pt.r), float(pt.theta_dtau),
+                float(pt.etadtau), fx=fx, fy=fy, fz=fz,
+            )
+            outs[mode] = stokes3d_chunk_canvas(carry, co, inv_di, 5)
+    finally:
+        c3.set_shift_impl("roll")
+
+    for name, a, b in zip(NAMES, outs["roll"], outs["slice"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"shift-impl mismatch in {name}",
+        )
+
+
+def test_solver_lean_auto_dispatch_matches():
+    """solve_ve_3d(use_pallas=True) auto-enables the lean-consts chunk when
+    G/K/dt are statically inf; results match the precomputed-coefficient
+    canvas path and the XLA path at roundoff."""
+    from justrelax_tpu.core.state import StokesState
+    from justrelax_tpu.solvers.stokes3d import solve_ve_3d
+
+    ni = (16, 16, 16)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di,
+                             CFL=0.9 / math.sqrt(3.1))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True,
+                        front=True, back=True))
+    rng = np.random.default_rng(0)
+    eta = jnp.asarray(np.exp(0.3 * rng.normal(size=ni)))
+    fz = jnp.asarray(rng.normal(size=ni))
+    Z = jnp.zeros(ni)
+    st = StokesState.make(ni)
+    st = st.replace(viscosity=st.viscosity.replace(eta=eta))
+    G = jnp.full(ni, jnp.inf)
+    K = jnp.full(ni, jnp.inf)
+    args = (st, pt, geometry, bc, (Z, Z, fz), G, K, jnp.inf)
+    kw = dict(iter_max=400, nout=100)
+    out_lean, _ = solve_ve_3d(*args, use_pallas=True, **kw)
+    out_pre, _ = solve_ve_3d(*args, use_pallas=True, pallas_lean=False, **kw)
+    out_xla, _ = solve_ve_3d(*args, **kw)
+    assert float(jnp.abs(out_lean.V.Vz - out_pre.V.Vz).max()) < 1e-14
+    assert float(jnp.abs(out_lean.V.Vz - out_xla.V.Vz).max()) < 1e-12
+    assert float(jnp.abs(out_lean.P - out_xla.P).max()) < 1e-12
