@@ -95,47 +95,55 @@ __all__ = [
     "iteration3d_canvas",
     "stokes3d_chunk_canvas",
     "stokes3d_chunk_canvas_lean",
-    "set_shift_impl",
+    "shift_fns",
     "pack_carry",
     "unpack_carry",
 ]
 
 
-# Neighbor shifts. "roll" lowers to concatenate(slice, slice); "slice" to
-# slice(pad) (XLA folds it to one Pad op) — zero-filled wrap slots. The two
-# differ only in canvas slots that are never consumed (every shifted read is
-# inside jnp.where(mask, ...) whose mask excludes wrap-sourced slots), so
-# iteration results are bitwise identical (tests/test_stokes3d_canvas.py);
-# the switch exists because concatenate and pad fuse differently on XLA:TPU
-# and the winner is decided by on-chip measurement (docs/performance.md).
-_SHIFT_IMPL = "roll"
-
-
-def set_shift_impl(mode: str):
-    """Select the neighbor-shift lowering: "roll" or "slice" (trace-time)."""
-    global _SHIFT_IMPL
-    assert mode in ("roll", "slice")
-    _SHIFT_IMPL = mode
-
-
+# Neighbor shifts, two lowerings. "roll" lowers to concatenate(slice, slice);
+# "slice" to slice(pad), zero-filled wrap slots, which XLA folds to one Pad
+# op. The two differ only in canvas slots that are never consumed (every
+# shifted read is inside jnp.where(mask, ...) whose mask excludes
+# wrap-sourced slots), so iteration results are BITWISE identical
+# (tests/test_stokes3d_canvas.py). They compile very differently on XLA:TPU:
+# concatenate forces its operands to materialize while pad fuses — measured
+# 2.5x on the 3D VE canvas iteration (490 -> 181 us/iter at 126^3 f32 on
+# v5e, docs/performance.md). "slice" is therefore the XLA-path choice;
+# Mosaic (Pallas) is the opposite — it miscompiles pad/concat formulations
+# but lowers roll natively (ops/pallas_stokes.py module docstring) — so the
+# Pallas-blocked callers keep "roll". Select via the `shift` parameter of
+# the iteration/chunk entry points.
 def _sm1(A, ax):
-    if _SHIFT_IMPL == "slice":
-        pads = [(0, 0)] * A.ndim
-        pads[ax] = (0, 1)
-        sl = [slice(None)] * A.ndim
-        sl[ax] = slice(1, None)
-        return jnp.pad(A, pads)[tuple(sl)]
     return jnp.roll(A, -1, axis=ax)
 
 
 def _sp1(A, ax):
-    if _SHIFT_IMPL == "slice":
-        pads = [(0, 0)] * A.ndim
-        pads[ax] = (1, 0)
-        sl = [slice(None)] * A.ndim
-        sl[ax] = slice(None, -1)
-        return jnp.pad(A, pads)[tuple(sl)]
     return jnp.roll(A, 1, axis=ax)
+
+
+def _sm1_slice(A, ax):
+    pads = [(0, 0)] * A.ndim
+    pads[ax] = (0, 1)
+    sl = [slice(None)] * A.ndim
+    sl[ax] = slice(1, None)
+    return jnp.pad(A, pads)[tuple(sl)]
+
+
+def _sp1_slice(A, ax):
+    pads = [(0, 0)] * A.ndim
+    pads[ax] = (1, 0)
+    sl = [slice(None)] * A.ndim
+    sl[ax] = slice(None, -1)
+    return jnp.pad(A, pads)[tuple(sl)]
+
+
+def shift_fns(shift: str):
+    """(_sm1, _sp1) pair for the requested lowering ("roll" | "slice")."""
+    assert shift in ("roll", "slice")
+    if shift == "slice":
+        return _sm1_slice, _sp1_slice
+    return _sm1, _sp1
 
 
 def _band(shape, axis, lo, hi, offset=0):
@@ -268,14 +276,17 @@ def ve3d_canvas_coefficients(
 
 
 def iteration3d_canvas(carry, co: CanvasCoeffs3D, inv_di, *,
-                       nx, ny, nz, free_slip=True, x_off=0):
+                       nx, ny, nz, free_slip=True, x_off=0, shift="roll"):
     """One fused 3D VE PT iteration on the 10 collocated canvases.
 
     Equivalent to compute_grad_V_3d → compute_P → compute_strain_rate_3d →
     compute_tau_ve_3d → compute_V_3d → flow_bcs(free-slip) on the staggered
     arrays (ops/stokes3d.py). ``x_off`` maps local canvas rows to global
-    rows for windowed (Pallas-blocked) execution.
+    rows for windowed (Pallas-blocked) execution. ``shift`` picks the
+    neighbor-shift lowering (module docstring): "slice" for XLA callers,
+    "roll" for Pallas-blocked callers (Mosaic).
     """
+    _sm1, _sp1 = shift_fns(shift)
     Vx, Vy, Vz, P, txx, tyy, tzz, tyz, txz, txy = carry
     shape = P.shape
     inv_dx, inv_dy, inv_dz = inv_di
@@ -382,7 +393,7 @@ def iteration3d_canvas(carry, co: CanvasCoeffs3D, inv_di, *,
 
 
 def stokes3d_chunk_canvas(carry, co: CanvasCoeffs3D, inv_di, nout, *,
-                          free_slip=True):
+                          free_slip=True, shift="slice"):
     """Advance ``nout`` fused canvas iterations under ``lax.fori_loop``.
 
     ``carry`` is the tuple of 10 canvases (``pack_carry`` layout unstacked);
@@ -393,7 +404,8 @@ def stokes3d_chunk_canvas(carry, co: CanvasCoeffs3D, inv_di, nout, *,
 
     def body(_, c):
         return iteration3d_canvas(
-            c, co, inv_di, nx=nx, ny=ny, nz=nz, free_slip=free_slip
+            c, co, inv_di, nx=nx, ny=ny, nz=nz, free_slip=free_slip,
+            shift=shift,
         )
 
     return lax.fori_loop(0, nout, body, carry)
@@ -470,7 +482,7 @@ def _derive_coeffs_lean(lc: LeanConsts3D, P, r, theta_dtau, etadtau,
 
 def stokes3d_chunk_canvas_lean(carry, lc: LeanConsts3D, r, theta_dtau,
                                etadtau, inv_di, nout, *, free_slip=True,
-                               psi_from_eta=False):
+                               psi_from_eta=False, shift="slice"):
     """Lean-consts variant of :func:`stokes3d_chunk_canvas`: identical
     physics, bitwise-equal results, ~3 constant canvases streamed per
     iteration instead of 11. ``r``/``theta_dtau``/``etadtau`` must be
@@ -483,7 +495,8 @@ def stokes3d_chunk_canvas_lean(carry, lc: LeanConsts3D, r, theta_dtau,
         co = _derive_coeffs_lean(lc, c[3], r, theta_dtau, etadtau,
                                  psi_from_eta=psi_from_eta)
         return iteration3d_canvas(
-            c, co, inv_di, nx=nx, ny=ny, nz=nz, free_slip=free_slip
+            c, co, inv_di, nx=nx, ny=ny, nz=nz, free_slip=free_slip,
+            shift=shift,
         )
 
     return lax.fori_loop(0, nout, body, carry)

@@ -821,7 +821,7 @@ def pallas_ve2d_blocked(n=1024, dtype=jnp.float32):
     return step, carry, consts, 16 * n_cells * 4, n_cells
 
 
-def ve3d_canvas(n=126, dtype=jnp.float32, lean=False, shift="roll"):
+def ve3d_canvas(n=126, dtype=jnp.float32, lean=False, shift="slice"):
     """Collocated-canvas 3D VE iteration (ops/stokes3d_canvas.py) — the
     roll+mask XLA formulation racing the slice/pad ``ve3d`` family. Same
     35·N·4 B traffic convention (same physics config, same necessary
@@ -830,11 +830,11 @@ def ve3d_canvas(n=126, dtype=jnp.float32, lean=False, shift="roll"):
     ``lean=True`` streams only the physics canvases (η, ητ, fz) and
     re-derives the 11 coefficient canvases inside the loop body (bitwise
     identical; see stokes3d_chunk_canvas_lean). ``shift`` picks the
-    neighbor-shift lowering ("roll" → concatenate, "slice" → pad)."""
+    neighbor-shift lowering: "slice" (pad; the shipping default — measured
+    2.5× faster than roll, docs/performance.md) or "roll" (concatenate)."""
     from justrelax_tpu.core.coeffs import PTStokesCoeffs
     from justrelax_tpu.core.grid import Geometry
     from justrelax_tpu.ops.stencil import maxloc
-    from justrelax_tpu.ops import stokes3d_canvas as c3
     from justrelax_tpu.ops.stokes3d_canvas import (
         lean_canvas_consts,
         pack_carry,
@@ -843,7 +843,6 @@ def ve3d_canvas(n=126, dtype=jnp.float32, lean=False, shift="roll"):
         ve3d_canvas_coefficients,
     )
 
-    c3.set_shift_impl(shift)
     ni = (n, n, n)
     geometry = Geometry(ni, (1.0, 1.0, 1.0))
     inv_di = tuple(1.0 / d for d in geometry.di)
@@ -878,10 +877,12 @@ def ve3d_canvas(n=126, dtype=jnp.float32, lean=False, shift="roll"):
     if lean:
         def step(n_iter, carry, consts):
             return stokes3d_chunk_canvas_lean(
-                carry, consts, r, theta_dtau, etadtau, inv_di, n_iter)
+                carry, consts, r, theta_dtau, etadtau, inv_di, n_iter,
+                shift=shift)
     else:
         def step(n_iter, carry, consts):
-            return stokes3d_chunk_canvas(carry, consts, inv_di, n_iter)
+            return stokes3d_chunk_canvas(carry, consts, inv_di, n_iter,
+                                         shift=shift)
 
     n_cells = n * n * n
     return step, carry, co, 35 * n_cells * 4, n_cells
@@ -950,6 +951,96 @@ def vep2d_1024(dtype=jnp.float32):
     return vep2d(n=1024, dtype=dtype)
 
 
+def vep3d_canvas(n=126, dtype=jnp.float32):
+    """Collocated-canvas 3D VEP iteration (ops/stokes3d_vep_canvas.py) —
+    same physics config and 71·N·4 B traffic convention as ``vep3d`` so the
+    rows are directly comparable. The return-mapping body is the SAME
+    update_stresses_center_edges_3d; only the staggered moves differ
+    (canvas rolls+selects vs mixed-shape clamped slices)."""
+    import numpy as _np
+
+    from justrelax_tpu.core.coeffs import PTStokesCoeffs
+    from justrelax_tpu.core.grid import Geometry
+    from justrelax_tpu.ops.bc import Faces, VelocityBoundaryConditions, flow_bcs
+    from justrelax_tpu.ops.stokes3d_vep_canvas import (
+        VEP3DCanvasCarry,
+        embed_center,
+        embed_edge,
+        vep3d_canvas_consts,
+        vep3d_chunk_canvas,
+    )
+    from justrelax_tpu.rheology.materials import Material, MaterialStack
+    from justrelax_tpu.rheology.phases import phase_ratios_from_field
+
+    ni = (n, n, n)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    C = 1.6 / math.cos(math.radians(30.0))
+    common = dict(rho0=0.0, Kb=4.0, is_plastic=1.0, C=C,
+                  friction_angle=30.0, dilation_angle=0.0, eta_reg=1.25e-2)
+    material = MaterialStack.make([
+        Material(G=1.0, eta0=1.0, **common),
+        Material(G=0.5, eta0=0.1, **common),
+    ])
+    material = jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, material
+    )
+    X, Y, Zc = _np.meshgrid(*[_np.asarray(c) for c in geometry.xci],
+                            indexing="ij")
+    inside = (X - 0.5) ** 2 + (Y - 0.5) ** 2 + (Zc - 0.5) ** 2 <= 0.01
+    pr = phase_ratios_from_field(jnp.asarray(inside.astype(int)), 2)
+    pr = jax.tree.map(lambda x: x.astype(dtype), pr)
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di,
+                             CFL=0.75 / math.sqrt(3.1))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True,
+                        front=True, back=True)
+    )
+    dt = jnp.asarray(0.125, dtype)
+    xv = jnp.asarray(geometry.xvi[0], dtype)
+    zv = jnp.asarray(geometry.xvi[2], dtype)
+    Vx = jnp.broadcast_to(xv[:, None, None], (n + 1, n + 2, n + 2)).astype(dtype)
+    Vy = jnp.zeros((n + 2, n + 1, n + 2), dtype)
+    Vz = jnp.broadcast_to((-zv)[None, None, :], (n + 2, n + 2, n + 1)).astype(dtype)
+    Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), bc)
+    eta0 = jnp.where(jnp.asarray(inside), 0.1, 1.0).astype(dtype)
+
+    Z = jnp.zeros(ni, dtype)
+    tyz = jnp.zeros((n, n + 1, n + 1), dtype)
+    txz = jnp.zeros((n + 1, n, n + 1), dtype)
+    txy = jnp.zeros((n + 1, n + 1, n), dtype)
+    txx_o = jnp.full(ni, 1.0, dtype)
+    carry = VEP3DCanvasCarry(
+        V=(jnp.pad(Vx, ((0, 1), (0, 0), (0, 0))),
+           jnp.pad(Vy, ((0, 0), (0, 1), (0, 0))),
+           jnp.pad(Vz, ((0, 0), (0, 0), (0, 1)))),
+        P=embed_center(Z), theta=embed_center(Z),
+        tau_c=tuple(embed_center(Z) for _ in range(6)),
+        tau_e=tuple(embed_edge(t, k) for k, t in enumerate((tyz, txz, txy))),
+        eta=embed_center(eta0),
+        lam=embed_center(Z),
+        lam_e=tuple(embed_edge(t, k) for k, t in enumerate((tyz, txz, txy))),
+    )
+    co = vep3d_canvas_consts(
+        (txx_o, -txx_o, Z, Z, Z, Z), (tyz, txz, txy), Z, Z, Z,
+        pr.center, (pr.edge_yz, pr.edge_xz, pr.edge_xy),
+    )
+    co = jax.tree.map(
+        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, co
+    )
+    r, theta_dtau, etadtau = pt.r, pt.theta_dtau, pt.etadtau
+
+    def step(n_iter, carry, consts):
+        return vep3d_chunk_canvas(
+            carry, consts, material, inv_di, n_iter,
+            dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
+            lambda_relaxation=0.2, viscosity_relaxation=1.0e-2,
+        )
+
+    n_cells = n * n * n
+    return step, carry, co, 71 * n_cells * 4, n_cells
+
+
 FAMILIES = {
     "ve2d": ve2d,
     "vep2d": vep2d,
@@ -958,6 +1049,7 @@ FAMILIES = {
     "ve3d": ve3d,
     "ve3d_canvas": ve3d_canvas,
     "vep3d": vep3d,
+    "vep3d_canvas": vep3d_canvas,
     "pallas_ve2d": pallas_ve2d,
     "pallas_ve2d_blocked": pallas_ve2d_blocked,
     "pallas_ve3d_blocked": pallas_ve3d_blocked,

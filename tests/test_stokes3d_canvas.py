@@ -210,8 +210,6 @@ def test_shift_impl_slice_bitwise_equal_roll():
     """pad+slice neighbor shifts == roll shifts, bitwise: wrap-sourced
     slots are never consumed (every shifted read sits inside a masked
     where), so the lowering choice cannot change results."""
-    from justrelax_tpu.ops import stokes3d_canvas as c3
-
     ni = (14, 10, 12)
     geometry = Geometry(ni, (1.0, 1.3, 0.8))
     pt = PTStokesCoeffs.make(geometry.li, geometry.di,
@@ -221,17 +219,14 @@ def test_shift_impl_slice_bitwise_equal_roll():
     inv_di = tuple(1.0 / d for d in geometry.di)
     carry = tuple(pack_carry(*fields))
 
-    outs = {}
-    try:
-        for mode in ("roll", "slice"):
-            c3.set_shift_impl(mode)
-            co = ve3d_canvas_coefficients(
-                eta, eta_tau, float(pt.r), float(pt.theta_dtau),
-                float(pt.etadtau), fx=fx, fy=fy, fz=fz,
-            )
-            outs[mode] = stokes3d_chunk_canvas(carry, co, inv_di, 5)
-    finally:
-        c3.set_shift_impl("roll")
+    co = ve3d_canvas_coefficients(
+        eta, eta_tau, float(pt.r), float(pt.theta_dtau),
+        float(pt.etadtau), fx=fx, fy=fy, fz=fz,
+    )
+    outs = {
+        mode: stokes3d_chunk_canvas(carry, co, inv_di, 5, shift=mode)
+        for mode in ("roll", "slice")
+    }
 
     for name, a, b in zip(NAMES, outs["roll"], outs["slice"]):
         np.testing.assert_array_equal(
