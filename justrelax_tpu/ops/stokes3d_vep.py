@@ -33,6 +33,7 @@ Array = Any
 __all__ = [
     "update_stresses_center_edges_3d",
     "VEPStressResult3D",
+    "VEPParams3D",
     "StaggeredMoves",
     "serial_moves",
 ]
@@ -53,6 +54,23 @@ class StaggeredMoves(NamedTuple):
     harm_center_to_edge: Any
     other_to_edge: Any  # (src_name, dst_name, A) -> dst-family array
     edge_to_center: Any  # (A, ax0, ax1) -> center array
+
+
+class VEPParams3D(NamedTuple):
+    """Precomputed per-lattice material parameters (phase-blended with the
+    solve-frozen EII and phase ratios) for :func:`update_stresses_center_edges_3d`.
+
+    Used by the collocated-canvas path (ops/stokes3d_vep_canvas.py): the
+    blends involve (..., nphase) arrays whose trailing tiny dimension tiles
+    terribly on TPU, so they are evaluated ONCE per solve instead of per
+    iteration."""
+
+    ppc: Any          # PlasticParams at centers
+    G_c: Any
+    K_c: Any
+    ppe: tuple        # PlasticParams per edge family (yz, xz, xy)
+    G_e: tuple
+    K_e: tuple
 
 
 class VEPStressResult3D(NamedTuple):
@@ -195,6 +213,7 @@ def update_stresses_center_edges_3d(
     dt,
     theta_dtau,
     moves: StaggeredMoves | None = None,
+    params: "VEPParams3D | None" = None,
 ) -> VEPStressResult3D:
     ni = Pr.shape
     names = ("yz", "xz", "xy")
@@ -208,13 +227,16 @@ def update_stresses_center_edges_3d(
     eps_pl_e = []
     for k, name in enumerate(names):
         a, b = _EDGE_AXES[name]
-        pr_e = phase_ratios_edges[k]
         Pv = moves.center_to_edge(Pr, a, b)
-        EII_e = moves.center_to_edge(EII_pl, a, b)
         eta_e = moves.harm_center_to_edge(eta, a, b)
-        ppe = plastic_params_phase(material, EII_e, pr_e)
-        G_e = get_shear_modulus(material, pr_e)
-        K_e = get_bulk_modulus(material, pr_e)
+        if params is None:
+            pr_e = phase_ratios_edges[k]
+            EII_e = moves.center_to_edge(EII_pl, a, b)
+            ppe = plastic_params_phase(material, EII_e, pr_e)
+            G_e = get_shear_modulus(material, pr_e)
+            K_e = get_bulk_modulus(material, pr_e)
+        else:
+            ppe, G_e, K_e = params.ppe[k], params.G_e[k], params.K_e[k]
         _Gedt = 1.0 / (G_e * dt)
         dtau_re = 1.0 / (theta_dtau + eta_e * _Gedt + 1.0)
 
@@ -265,9 +287,12 @@ def update_stresses_center_edges_3d(
         eps_pl_e.append(e_pl)
 
     # ---------------- center pass ------------------------------------------
-    ppc = plastic_params_phase(material, EII_pl, phase_ratios_center)
-    G_c = get_shear_modulus(material, phase_ratios_center)
-    K_c = get_bulk_modulus(material, phase_ratios_center)
+    if params is None:
+        ppc = plastic_params_phase(material, EII_pl, phase_ratios_center)
+        G_c = get_shear_modulus(material, phase_ratios_center)
+        K_c = get_bulk_modulus(material, phase_ratios_center)
+    else:
+        ppc, G_c, K_c = params.ppc, params.G_c, params.K_c
     _Gdt = 1.0 / (G_c * dt)
     dtau_r = 1.0 / (theta_dtau + eta * _Gdt + 1.0)
 

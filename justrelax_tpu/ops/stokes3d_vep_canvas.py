@@ -24,15 +24,20 @@ through a canvas-collocated :class:`StaggeredMoves`:
   select-at-the-last-staggered-slot + roll averages;
 - ``edge_to_center``: plain interior 4-point roll averages.
 
-Loop-invariant consts (τ_o, EII, P0, Q, phase ratios, T) are streamed as
-canvases and multiplied by a carry-dependent unit scalar at the top of the
-body (the anti-LICM device of stokes3d_canvas._derive_coeffs_lean) so that
-everything derived from them — clamped τ_o interpolants, per-family plastic
-parameters, phase-blended moduli — stays fused inside the loop instead of
-being hoisted into ~30 materialized HBM canvases.
+Every phase blend is PRECOMPUTED at consts-build time (plastic parameters,
+moduli, the ρ(T,P)·g affine coefficients, the collapsed power-law viscosity
+target) so no (..., nphase) trailing-tiny-dim math — which tiles terribly
+on TPU — ever enters the loop; loop-invariant derived quantities (the
+clamped τ_o interpolants) are left to XLA's LICM, which materializes them
+once before the loop. The first design instead streamed raw phase ratios
+and re-blended per iteration behind an anti-LICM carry scalar: measured
+45 ms/iter at 126³ f32 on v5e — 10× WORSE than the slice path it meant to
+replace (docs/performance.md, 3D VEP record). Precomputed-consts beat
+recompute-in-body on this hardware in every measurement this round.
 
 Supported configuration (guarded by the solver dispatch): uniform grid,
-all-free-slip BCs, no variational mask (phi), default solver options —
+all-free-slip BCs, no variational mask (phi), default solver options, and
+a creep table that is linear or collapses to a shared-exponent power law —
 the ShearBand3D / bench ``vep3d`` family configuration.
 """
 
@@ -51,7 +56,6 @@ from justrelax_tpu.ops.stokes3d_vep import (
     update_stresses_center_edges_3d,
 )
 from justrelax_tpu.rheology.materials import (
-    compute_density,
     phase_average,
     _as_stack,
 )
@@ -182,16 +186,28 @@ def _maxloc_canvas(A, ni, sm1, sp1):
 
 
 class VEP3DCanvasConsts(NamedTuple):
-    """Loop-invariant canvases (ghost-replicated where a move reads them)."""
+    """Loop-invariant canvases, ALL phase blending done at build time.
 
+    The first canvas-VEP design streamed raw phase ratios and re-blended
+    per iteration behind an anti-LICM scalar; measured 45 ms/iter at 126³
+    on v5e — 10× WORSE than the slice path — because the (..., nphase)
+    trailing-tiny-dim math tiles terribly on TPU and the in-body
+    derivations materialized anyway. This version precomputes every
+    phase-blended quantity per lattice (the 2D VEP chunk's const strategy,
+    ops/pallas_stokes_vep.py) and lets LICM hoist the loop-invariant τ_o
+    interpolants; only 3D canvases ever enter the loop."""
+
+    params: Any               # VEPParams3D of canvases (plastic + moduli)
     tau_o_c: tuple            # 6 center canvases
     tau_o_e: tuple            # 3 edge canvases
-    EII: Array
     P0: Array
     Q: Array
-    pr_c: Optional[Array]     # (nx+2, ny+2, nz+2, nphase) or None
-    pr_e: tuple               # per-family canvas or (None, None, None)
-    T: Optional[Array]
+    fzA: Optional[Array]      # buoyancy affine coeffs: fz_cell = fzA + fzB·P
+    fzB: Optional[Array]      #   (None, None ⇒ zero body force)
+    visc_eta: Optional[Array]  # linear creep: constant viscosity target
+    visc_A: Optional[Array]   # else collapsed power law 1/η = A + B·τII^m
+    visc_B: Optional[Array]
+    visc_m: Any               # static float exponent (None ⇒ linear)
 
 
 class VEP3DCanvasCarry(NamedTuple):
@@ -205,22 +221,112 @@ class VEP3DCanvasCarry(NamedTuple):
     lam_e: tuple              # 3 edge canvases
 
 
-def vep3d_canvas_consts(tau_o_c6, tau_o_e3, EII_pl, P0, Q,
+def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
                         phase_ratios_center, phase_ratios_edges,
-                        T=None) -> VEP3DCanvasConsts:
+                        T=None, visc_m="auto") -> VEP3DCanvasConsts:
+    """Build the loop-invariant canvases (one-time cost per solve).
+
+    ``visc_m`` is the shared power-law exponent minus one of the creep
+    table (``rheology.viscosity.shared_powerlaw_exponent``), ``None`` for a
+    linear table, or "auto" to resolve from a CONCRETE material (raises
+    under jit tracing — pass it explicitly there, mirroring the 2D
+    ``pallas_visc_m`` escape hatch)."""
+    from justrelax_tpu.ops.stokes3d_vep import VEPParams3D
+    from justrelax_tpu.rheology.materials import (
+        get_bulk_modulus,
+        get_shear_modulus,
+    )
+    from justrelax_tpu.rheology.plasticity import plastic_params_phase
+    from justrelax_tpu.rheology.viscosity import (
+        powerlaw_recip_coeffs,
+        shared_powerlaw_exponent,
+    )
+
+    pr_c = phase_ratios_center
+    pr_cc = None if pr_c is None else embed_center(pr_c, mode="edge")
+    pr_ec = tuple(
+        None if p is None else embed_edge(p, k, mode="edge")
+        for k, p in enumerate(phase_ratios_edges)
+    )
+    EII_c = embed_center(EII_pl, mode="edge")
+    T_c = None if T is None else embed_center(T, mode="edge")
+    moves = canvas_moves(EII_pl.shape)
+
+    ppc = plastic_params_phase(material, EII_c, pr_cc)
+    G_c = get_shear_modulus(material, pr_cc)
+    K_c = get_bulk_modulus(material, pr_cc)
+    ppe, G_e, K_e = [], [], []
+    for k, (a, b) in enumerate(_EDGE_AXES3):
+        EII_e = moves.center_to_edge(EII_c, a, b)
+        ppe.append(plastic_params_phase(material, EII_e, pr_ec[k]))
+        G_e.append(get_shear_modulus(material, pr_ec[k]))
+        K_e.append(get_bulk_modulus(material, pr_ec[k]))
+    params = VEPParams3D(
+        ppc=ppc, G_c=G_c, K_c=K_c,
+        ppe=tuple(ppe), G_e=tuple(G_e), K_e=tuple(K_e),
+    )
+
+    # buoyancy: ρ(T, P)·g is affine in P with T frozen (phase_average is
+    # linear) — exactly the density law of materials.compute_density:
+    # ρ = Σ_p r·[ρ0(1−α(T−T0)) + ρ0·β·(P−P0_mat)] = Aρ + Bρ·P
+    m = _as_stack(material).params
+    import numpy as _np
+    any_rho = True
+    try:
+        any_rho = bool(_np.any(_np.asarray(m.rho0) != 0))
+    except Exception:
+        pass
+    if any_rho:
+        ref = EII_c
+        from justrelax_tpu.rheology.materials import _bcast
+
+        rho0 = _bcast(m.rho0, ref)
+        A_p = rho0
+        if T_c is not None:
+            A_p = A_p * (1.0 - _bcast(m.alpha, ref)
+                         * (T_c[..., None] - _bcast(m.T0, ref)))
+        beta = _bcast(m.beta, ref)
+        B_p = rho0 * beta
+        A_p = A_p - B_p * _bcast(m.P0, ref)
+        B_p = jnp.broadcast_to(B_p, ref.shape + (B_p.shape[-1],))
+        A_rho = phase_average(A_p, pr_cc)
+        B_rho = phase_average(B_p, pr_cc)
+        g = phase_average(m.gravity, pr_cc)
+        g = jnp.broadcast_to(g, A_rho.shape)
+        fzA, fzB = A_rho * g, B_rho * g
+    else:
+        fzA = fzB = None
+
+    if visc_m == "auto":
+        visc_m = shared_powerlaw_exponent(material)
+        if visc_m is None and bool(
+            _np.any(_np.asarray(m.disl_A) > 0)
+            | _np.any(_np.asarray(m.diff_A) > 0)
+            | _np.any(_np.asarray(m.peierls_A) > 0)
+            | _np.any(_np.asarray(m.gbs_A) > 0)
+        ):
+            raise ValueError(
+                "canvas VEP needs a creep table that is linear or collapses "
+                "to a shared-exponent power law (shared_powerlaw_exponent)"
+            )
+    if visc_m is None:
+        # linear table: the tau-mode viscosity is invariant of tII — one
+        # phase_viscosity evaluation IS the refresh target, bitwise
+        visc_eta = phase_viscosity(
+            material, jnp.ones_like(EII_c), T_c, pr_cc, "tau")
+        visc_A = visc_B = None
+    else:
+        visc_eta = None
+        visc_A, visc_B = powerlaw_recip_coeffs(material, EII_c, T_c, pr_cc)
+
     return VEP3DCanvasConsts(
+        params=params,
         tau_o_c=tuple(embed_center(t) for t in tau_o_c6),
         tau_o_e=tuple(embed_edge(t, k) for k, t in enumerate(tau_o_e3)),
-        EII=embed_center(EII_pl),
         P0=embed_center(P0),
         Q=embed_center(Q),
-        pr_c=None if phase_ratios_center is None
-        else embed_center(phase_ratios_center, mode="edge"),
-        pr_e=tuple(
-            None if p is None else embed_edge(p, k, mode="edge")
-            for k, p in enumerate(phase_ratios_edges)
-        ),
-        T=None if T is None else embed_center(T),
+        fzA=fzA, fzB=fzB,
+        visc_eta=visc_eta, visc_A=visc_A, visc_B=visc_B, visc_m=visc_m,
     )
 
 
@@ -242,11 +348,6 @@ def iteration_vep3d_canvas(
     solvers/stokes3d_vep.py::one_iteration (maxloc → θ update → ρ(T,P)·g →
     strain rate → fused center+edges return mapping → τII viscosity
     continuation → damped velocity update + free-slip BCs)."""
-    from justrelax_tpu.rheology.materials import (
-        get_bulk_modulus,
-        get_shear_modulus,
-    )
-
     ni = (nx, ny, nz)
     _sm1, _sp1 = shift_fns(shift)
     moves = canvas_moves(ni, shift=shift)
@@ -276,26 +377,6 @@ def iteration_vep3d_canvas(
     MVy = xb(1, nx) & yb(1, ny - 1) & zb(1, nz)
     MVz = xb(1, nx) & yb(1, ny) & zb(1, nz - 1)
 
-    # anti-LICM: thread a carry-dependent unit scalar through every const
-    # canvas so derived invariants are not hoisted out of the fori body
-    p11 = c.P[1, 1, 1]
-    s = jnp.where(p11 == p11, jnp.asarray(1.0, dtype), jnp.asarray(2.0, dtype))
-
-    def S(x):
-        return None if x is None else x * s
-
-    tau_o_c6 = tuple(S(t) for t in co.tau_o_c)
-    tau_o_e3 = tuple(S(t) for t in co.tau_o_e)
-    EII = S(co.EII)
-    P0 = S(co.P0)
-    Q = S(co.Q)
-    pr_c = S(co.pr_c)
-    pr_e = tuple(S(p) for p in co.pr_e)
-    T = S(co.T)
-
-    K_c = get_bulk_modulus(material, pr_c)
-    G_c = get_shear_modulus(material, pr_c)
-
     # 1. maxloc preconditioner + divergence + compressible θ iterate
     eta_tau = _maxloc_canvas(c.eta, ni, _sm1, _sp1)
     dVxdx = (Vx - _sp1(Vx, 0)) * inv_dx
@@ -303,15 +384,18 @@ def iteration_vep3d_canvas(
     dVzdz = (Vz - _sp1(Vz, 2)) * inv_dz
     grad_V = dVxdx + dVydy + dVzdz
     _, theta = compute_P(
-        c.theta, P0, grad_V, Q, eta_tau, K_c, G_c, dt, r, theta_dtau
+        c.theta, co.P0, grad_V, co.Q, eta_tau, co.params.K_c, co.params.G_c,
+        dt, r, theta_dtau
     )
     theta = jnp.where(Mc, theta, c.theta)
 
-    # 2. buoyancy from the PREVIOUS corrected pressure (solver order)
-    rho = compute_density(material, T=T, P=c.P, phase_ratios=pr_c)
-    g = phase_average(_as_stack(material).params.gravity, pr_c)
-    fz_cell = rho * jnp.broadcast_to(g, rho.shape)
-    fz = 0.5 * (fz_cell + _sm1(fz_cell, 2))
+    # 2. buoyancy from the PREVIOUS corrected pressure (solver order):
+    # ρ(T, P)·g as the precomputed affine form fzA + fzB·P
+    if co.fzA is not None:
+        fz_cell = co.fzA + co.fzB * c.P
+        fz = 0.5 * (fz_cell + _sm1(fz_cell, 2))
+    else:
+        fz = None
 
     # 3. strain rates (canvas twin of compute_strain_rate_3d)
     third = 1.0 / 3.0
@@ -323,14 +407,15 @@ def iteration_vep3d_canvas(
     exy = 0.5 * ((_sm1(Vx, 1) - Vx) * inv_dy + (_sm1(Vy, 0) - Vy) * inv_dx)
 
     # 4. fused center+edges return mapping — the EXACT serial kernel body,
-    # driven through canvas-collocated moves
+    # driven through canvas-collocated moves and the precomputed
+    # phase-blended parameter canvases (no (..., nphase) math in the loop)
     res = update_stresses_center_edges_3d(
         (exx, eyy, ezz), (eyz, exz, exy),
-        c.tau_c, c.tau_e, tau_o_c6, tau_o_e3,
-        theta, c.eta, c.lam, c.lam_e, EII,
-        material, pr_c, pr_e,
+        c.tau_c, c.tau_e, co.tau_o_c, co.tau_o_e,
+        theta, c.eta, c.lam, c.lam_e, None,
+        material, None, (None, None, None),
         lambda_relaxation, dt, theta_dtau,
-        moves=moves,
+        moves=moves, params=co.params,
     )
     tau_c = tuple(
         jnp.where(Mc, t, old) for t, old in zip(res.tau_c, c.tau_c)
@@ -344,12 +429,18 @@ def iteration_vep3d_canvas(
     )
     P = jnp.where(Mc, res.P_corrected, c.P)
 
-    # 5. τII viscosity continuation (solver refresh_viscosity)
+    # 5. τII viscosity continuation (solver refresh_viscosity): the creep
+    # target is the precomputed constant canvas (linear table) or the
+    # collapsed power law 1/η = A + B·τII^m (ops/pallas_stokes_vep.py's
+    # proven const strategy)
     eps0 = jnp.where(
         sum(jnp.abs(t) for t in tau_c) == 0, jnp.finfo(dtype).eps, 0.0
     )
     tII = _inv_II((tau_c[0] + eps0,) + tau_c[1:])
-    eta_n = phase_viscosity(material, tII, T, pr_c, "tau")
+    if co.visc_m is None:
+        eta_n = co.visc_eta
+    else:
+        eta_n = 1.0 / (co.visc_A + co.visc_B * tII ** co.visc_m)
     eta_n = continuation_linear(eta_n, c.eta, viscosity_relaxation)
     eta = jnp.clip(eta_n, viscosity_cutoff[0], viscosity_cutoff[1])
     eta = jnp.where(Mc, eta, c.eta)
@@ -382,8 +473,9 @@ def iteration_vep3d_canvas(
         + (tyz - _sp1(tyz, 1)) * inv_dy
         + (_sm1(tzz, 2) - tzz) * inv_dz
         - (_sm1(P, 2) - P) * inv_dz
-        - fz
     )
+    if fz is not None:
+        rz = rz - fz
     Vz = jnp.where(
         MVz, Vz + rz * (etadtau / (0.5 * (etat + _sm1(etat, 2)))), Vz
     )
@@ -433,3 +525,36 @@ def vep3d_chunk_canvas(
         )
 
     return lax.fori_loop(0, nout, body, c)
+
+
+def pack_vep_carry(V, P, theta, tau_c, tau_e, eta, lam,
+                   lam_e) -> VEP3DCanvasCarry:
+    """Staggered solver fields → canvas carry (solver core-field order)."""
+    Vx, Vy, Vz = V
+    return VEP3DCanvasCarry(
+        V=(jnp.pad(Vx, ((0, 1), (0, 0), (0, 0))),
+           jnp.pad(Vy, ((0, 0), (0, 1), (0, 0))),
+           jnp.pad(Vz, ((0, 0), (0, 0), (0, 1)))),
+        P=embed_center(P),
+        theta=embed_center(theta),
+        tau_c=tuple(embed_center(t) for t in tau_c),
+        tau_e=tuple(embed_edge(t, k) for k, t in enumerate(tau_e)),
+        eta=embed_center(eta),
+        lam=embed_center(lam),
+        lam_e=tuple(embed_edge(t, k) for k, t in enumerate(lam_e)),
+    )
+
+
+def unpack_vep_carry(c: VEP3DCanvasCarry):
+    """Inverse of :func:`pack_vep_carry`."""
+    Vx, Vy, Vz = c.V
+    return (
+        (Vx[:-1], Vy[:, :-1], Vz[:, :, :-1]),
+        extract_center(c.P),
+        extract_center(c.theta),
+        tuple(extract_center(t) for t in c.tau_c),
+        tuple(extract_edge(t, k) for k, t in enumerate(c.tau_e)),
+        extract_center(c.eta),
+        extract_center(c.lam),
+        tuple(extract_edge(t, k) for k, t in enumerate(c.lam_e)),
+    )

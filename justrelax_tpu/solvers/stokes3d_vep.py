@@ -90,13 +90,6 @@ def _masked_momentum_3d(P, tau6, fx, fy, fz, inv_di, phi, vm,
     return Rx, Ry, Rz
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "geometry", "flow_bc", "iter_max", "iter_min", "nout",
-        "viscosity_relaxation", "lambda_relaxation", "viscosity_cutoff",
-    ),
-)
 def solve_vep_3d(
     stokes: StokesState,
     pt_stokes: PTStokesCoeffs,
@@ -114,6 +107,73 @@ def solve_vep_3d(
     lambda_relaxation: float = 0.2,
     viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
     phi=None,
+    use_pallas: bool = False,
+    pallas_visc_m="auto",
+) -> Tuple[StokesState, StokesSolveInfo]:
+    """Thin static-option resolver over the jitted solver body (see
+    :func:`_solve_vep_3d`). ``use_pallas=True`` streams each chunk through
+    the collocated-canvas iteration (ops/stokes3d_vep_canvas.py);
+    ``pallas_visc_m`` is the collapsed power-law exponent for its viscosity
+    target — "auto" resolves it from a CONCRETE material via
+    ``shared_powerlaw_exponent`` (pass it explicitly when calling under an
+    outer jit with traced material leaves, mirroring solve_vep's 2D escape
+    hatch)."""
+    if use_pallas and pallas_visc_m == "auto":
+        import numpy as _np
+
+        from justrelax_tpu.rheology.materials import _as_stack
+        from justrelax_tpu.rheology.viscosity import shared_powerlaw_exponent
+
+        p = _as_stack(material).params
+        linear = not any(
+            _np.any(_np.asarray(getattr(p, a)) > 0)
+            for a in ("disl_A", "diff_A", "peierls_A", "gbs_A")
+        )
+        pallas_visc_m = None if linear else shared_powerlaw_exponent(material)
+        if pallas_visc_m is None and not linear:
+            raise ValueError(
+                "use_pallas requires a linear or shared-exponent power-law "
+                "creep table (shared_powerlaw_exponent)"
+            )
+    return _solve_vep_3d(
+        stokes, pt_stokes, geometry, flow_bc, material,
+        phase_ratios_center, phase_ratios_edges, dt, T=T,
+        iter_max=iter_max, iter_min=iter_min, nout=nout,
+        viscosity_relaxation=viscosity_relaxation,
+        lambda_relaxation=lambda_relaxation,
+        viscosity_cutoff=viscosity_cutoff, phi=phi,
+        use_pallas=use_pallas,
+        pallas_visc_m=None if pallas_visc_m == "auto" else pallas_visc_m,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "geometry", "flow_bc", "iter_max", "iter_min", "nout",
+        "viscosity_relaxation", "lambda_relaxation", "viscosity_cutoff",
+        "use_pallas", "pallas_visc_m",
+    ),
+)
+def _solve_vep_3d(
+    stokes: StokesState,
+    pt_stokes: PTStokesCoeffs,
+    geometry,
+    flow_bc: VelocityBoundaryConditions,
+    material,
+    phase_ratios_center: Optional[Array],
+    phase_ratios_edges,  # (yz, xz, xy) ratios or (None, None, None)
+    dt,
+    T: Optional[Array] = None,
+    iter_max: int = 50_000,
+    iter_min: int = 100,
+    nout: int = 500,
+    viscosity_relaxation: float = 1.0e-2,
+    lambda_relaxation: float = 0.2,
+    viscosity_cutoff: Tuple[float, float] = (-jnp.inf, jnp.inf),
+    phi=None,
+    use_pallas: bool = False,
+    pallas_visc_m=None,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """With ``phi`` (a :class:`~justrelax_tpu.ops.rock_ratio.RockRatio3D`)
     the solve becomes the MASKED variational VEP (reference
@@ -307,6 +367,28 @@ def solve_vep_3d(
 
     _CORE = ("V", "P", "theta", "tau_c", "tau_e", "eta", "lam", "lam_e")
 
+    if use_pallas:
+        fs = flow_bc.free_slip
+        if hasattr(geometry, "di_center"):
+            raise ValueError("use_pallas requires a uniform grid")
+        if phi is not None:
+            raise ValueError("use_pallas does not support variational phi")
+        if not all((fs.left, fs.right, fs.top, fs.bot, fs.front, fs.back)) \
+                or flow_bc.no_slip.any():
+            raise ValueError("use_pallas supports all-free-slip BCs only")
+        from justrelax_tpu.ops.stokes3d_vep_canvas import (
+            pack_vep_carry,
+            unpack_vep_carry,
+            vep3d_canvas_consts,
+            vep3d_chunk_canvas,
+        )
+
+        co_canvas = vep3d_canvas_consts(
+            material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
+            phase_ratios_center, phase_ratios_edges, T=T,
+            visc_m=pallas_visc_m,
+        )
+
     def one_iteration_core(i, t):
         # reduced fori carry — diagnostics are write-only per iteration
         # (see solvers/stokes2d_vep.py; measured 1.48x there)
@@ -315,10 +397,25 @@ def solve_vep_3d(
         return tuple(getattr(c2, k) for k in _CORE)
 
     def body(c: C):
-        t = lax.fori_loop(
-            0, nout_i - 1, one_iteration_core,
-            tuple(getattr(c, k) for k in _CORE),
-        )
+        if use_pallas:
+            # stream nout-1 iterations through the collocated-canvas chunk
+            # (ops/stokes3d_vep_canvas.py; == serial composition to 5e-13,
+            # tests/test_vep3d_canvas.py), then one full serial iteration
+            # for the diagnostics — the lean-carry pattern
+            packed = pack_vep_carry(*(getattr(c, k) for k in _CORE))
+            out = vep3d_chunk_canvas(
+                packed, co_canvas, material, inv_di, nout_i - 1,
+                dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
+                lambda_relaxation=lambda_relaxation,
+                viscosity_relaxation=viscosity_relaxation,
+                viscosity_cutoff=viscosity_cutoff,
+            )
+            t = unpack_vep_carry(out)
+        else:
+            t = lax.fori_loop(
+                0, nout_i - 1, one_iteration_core,
+                tuple(getattr(c, k) for k in _CORE),
+            )
         c = one_iteration(0, c._replace(**dict(zip(_CORE, t))))
         nRx, nRy, nRz, nRP, _, _, _ = residual_norms(c)
         err = jnp.max(jnp.stack([nRx, nRy, nRz, nRP]))

@@ -1022,7 +1022,7 @@ def vep3d_canvas(n=126, dtype=jnp.float32):
         lam_e=tuple(embed_edge(t, k) for k, t in enumerate((tyz, txz, txy))),
     )
     co = vep3d_canvas_consts(
-        (txx_o, -txx_o, Z, Z, Z, Z), (tyz, txz, txy), Z, Z, Z,
+        material, (txx_o, -txx_o, Z, Z, Z, Z), (tyz, txz, txy), Z, Z, Z,
         pr.center, (pr.edge_yz, pr.edge_xz, pr.edge_xy),
     )
     co = jax.tree.map(

@@ -26,12 +26,9 @@ from justrelax_tpu.ops.stokes3d_vep import (
     update_stresses_center_edges_3d,
 )
 from justrelax_tpu.ops.stokes3d_vep_canvas import (
-    VEP3DCanvasCarry,
-    embed_center,
-    embed_edge,
-    extract_center,
-    extract_edge,
     iteration_vep3d_canvas,
+    pack_vep_carry,
+    unpack_vep_carry,
     vep3d_canvas_consts,
     vep3d_chunk_canvas,
 )
@@ -150,32 +147,15 @@ def _serial_iteration(state, consts, material, geometry, pt, dt):
     )
 
 
+_KEYS = ("V", "P", "theta", "tau_c", "tau_e", "eta", "lam", "lam_e")
+
+
 def _pack(state):
-    Vx, Vy, Vz = state["V"]
-    return VEP3DCanvasCarry(
-        V=(jnp.pad(Vx, ((0, 1), (0, 0), (0, 0))),
-           jnp.pad(Vy, ((0, 0), (0, 1), (0, 0))),
-           jnp.pad(Vz, ((0, 0), (0, 0), (0, 1)))),
-        P=embed_center(state["P"]),
-        theta=embed_center(state["theta"]),
-        tau_c=tuple(embed_center(t) for t in state["tau_c"]),
-        tau_e=tuple(embed_edge(t, k) for k, t in enumerate(state["tau_e"])),
-        eta=embed_center(state["eta"]),
-        lam=embed_center(state["lam"]),
-        lam_e=tuple(embed_edge(t, k) for k, t in enumerate(state["lam_e"])),
-    )
+    return pack_vep_carry(*(state[k] for k in _KEYS))
 
 
-def _unpack(c: VEP3DCanvasCarry):
-    Vx, Vy, Vz = c.V
-    return dict(
-        V=(Vx[:-1], Vy[:, :-1], Vz[:, :, :-1]),
-        P=extract_center(c.P), theta=extract_center(c.theta),
-        tau_c=tuple(extract_center(t) for t in c.tau_c),
-        tau_e=tuple(extract_edge(t, k) for k, t in enumerate(c.tau_e)),
-        eta=extract_center(c.eta), lam=extract_center(c.lam),
-        lam_e=tuple(extract_edge(t, k) for k, t in enumerate(c.lam_e)),
-    )
+def _unpack(c):
+    return dict(zip(_KEYS, unpack_vep_carry(c)))
 
 
 def _assert_state_close(want, got, atol):
@@ -201,7 +181,7 @@ def test_vep3d_canvas_matches_serial(ni, rho0):
         want = _serial_iteration(want, consts, material, geometry, pt, dt)
 
     co = vep3d_canvas_consts(
-        consts["tau_o_c6"], consts["tau_o_e3"], consts["EII"],
+        material, consts["tau_o_c6"], consts["tau_o_e3"], consts["EII"],
         consts["P0"], consts["Q"], consts["pr"].center, consts["pr_e"],
         T=consts["T"],
     )
@@ -230,7 +210,7 @@ def test_vep3d_canvas_shift_slice_bitwise_equal_roll():
     dt = jnp.asarray(0.125)
     inv_di = tuple(1.0 / d for d in geometry.di)
     co = vep3d_canvas_consts(
-        consts["tau_o_c6"], consts["tau_o_e3"], consts["EII"],
+        material, consts["tau_o_c6"], consts["tau_o_e3"], consts["EII"],
         consts["P0"], consts["Q"], consts["pr"].center, consts["pr_e"],
     )
     outs = {}
@@ -242,3 +222,56 @@ def test_vep3d_canvas_shift_slice_bitwise_equal_roll():
             shift=mode,
         ))
     _assert_state_close(outs["roll"], outs["slice"], atol=0.0)
+
+
+def test_solve_vep_3d_use_pallas_matches_xla():
+    """solve_vep_3d(use_pallas=True) — chunks streamed through the canvas
+    iteration, one serial iteration per chunk for diagnostics — matches the
+    XLA path at roundoff on a two-phase plastic shear config."""
+    from justrelax_tpu.core.state import StokesState
+    from justrelax_tpu.ops.bc import flow_bcs
+    from justrelax_tpu.solvers.stokes3d_vep import solve_vep_3d
+
+    n = 10
+    ni = (n, n, n)
+    geometry = Geometry(ni, (1.0, 1.0, 1.0))
+    # cohesion low enough that the single-solve VE trial stress
+    # (tau ~ 2*eta_ve*eII ~ 0.4 at dt=0.25, G=1) exceeds yield
+    common = dict(Kb=4.0, eta0=1.0, is_plastic=1.0,
+                  C=0.15 / math.cos(math.radians(30.0)), friction_angle=30.0,
+                  eta_reg=8.0e-3)
+    mat = MaterialStack.make([
+        Material(G=1.0, **common), Material(G=0.5, **common)
+    ])
+    X, Y, Z = geometry.cell_centers_mesh()
+    sph = (
+        (np.asarray(X) - 0.5) ** 2 + (np.asarray(Y) - 0.5) ** 2
+        + (np.asarray(Z) - 0.5) ** 2
+    ) < 0.15**2
+    pr = phase_ratios_from_field(jnp.asarray(sph.astype(int)), 2)
+    stokes = StokesState.make(ni)
+    stokes = stokes.replace(
+        viscosity=stokes.viscosity.replace(eta=jnp.ones(ni)))
+    xv = jnp.asarray(geometry.xvi[0])
+    zv = jnp.asarray(geometry.xvi[2])
+    Vx = jnp.broadcast_to(xv[:, None, None], (n + 1, n + 2, n + 2))
+    Vy = jnp.zeros((n + 2, n + 1, n + 2))
+    Vz = jnp.broadcast_to((-zv)[None, None, :], (n + 2, n + 2, n + 1))
+    bc = VelocityBoundaryConditions(
+        free_slip=Faces(left=True, right=True, top=True, bot=True,
+                        front=True, back=True))
+    Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), bc)
+    stokes = stokes.replace(V=stokes.V.replace(Vx=Vx, Vy=Vy, Vz=Vz))
+    pt = PTStokesCoeffs.make(
+        geometry.li, geometry.di, eps_rel=1.0e-6, eps_abs=1.0e-6,
+        CFL=0.75 / math.sqrt(3.1))
+    args = (stokes, pt, geometry, bc, mat, pr.center,
+            (pr.edge_yz, pr.edge_xz, pr.edge_xy), 0.25)
+    kw = dict(iter_max=3000, iter_min=100, nout=100)
+    out_c, info_c = solve_vep_3d(*args, use_pallas=True, **kw)
+    out_x, info_x = solve_vep_3d(*args, **kw)
+    assert float(info_c.err) < 1.0e-5 and float(info_x.err) < 1.0e-5
+    scale = float(jnp.abs(out_x.tau.II).max())
+    assert float(jnp.abs(out_c.tau.II - out_x.tau.II).max()) < 1e-8 * scale
+    assert float(jnp.abs(out_c.P - out_x.P).max()) < 1e-8 * scale
+    assert float(jnp.max(out_x.EII_pl)) > 0.0  # plasticity active
