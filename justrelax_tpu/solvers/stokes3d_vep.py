@@ -117,7 +117,15 @@ def solve_vep_3d(
     target — "auto" resolves it from a CONCRETE material via
     ``shared_powerlaw_exponent`` (pass it explicitly when calling under an
     outer jit with traced material leaves, mirroring solve_vep's 2D escape
-    hatch)."""
+    hatch).
+
+    Dispatch note (measured, v5e 126³ f32, docs/performance.md): the 3D VEP
+    body is COMPUTE-bound (stream_frac 0.15), so the canvas's padded
+    (n+2)³ lattice costs ~1.24× more FLOPs and measures 1.21× SLOWER than
+    this default mixed-shape XLA iteration (4 848 vs 4 014 µs/iter) —
+    unlike the memory-bound VE where the canvas wins. ``use_pallas=True``
+    is therefore an opt-in uniform-layout route (parity 1e-8,
+    tests/test_vep3d_canvas.py), not a fast path; the default stays XLA."""
     if use_pallas and pallas_visc_m == "auto":
         import numpy as _np
 

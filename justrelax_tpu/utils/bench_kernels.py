@@ -861,7 +861,10 @@ def ve3d_canvas(n=126, dtype=jnp.float32, lean=False, shift="slice"):
             eta, eta_tau, r, theta_dtau, etadtau, fx=Z3, fy=Z3, fz=fz,
         )
     co = jax.tree.map(
-        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, co
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        co,
     )
     fields = (
         jnp.zeros((n + 1, n + 2, n + 2), dtype),
@@ -920,7 +923,10 @@ def pallas_ve3d_blocked(n=126, dtype=jnp.float32, plane_block=None,
         fx=Z3, fy=Z3, fz=fz,
     )
     co = jax.tree.map(
-        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, co
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        co,
     )
     fields = (
         jnp.zeros((n + 1, n + 2, n + 2), dtype),
@@ -1026,7 +1032,10 @@ def vep3d_canvas(n=126, dtype=jnp.float32):
         pr.center, (pr.edge_yz, pr.edge_xz, pr.edge_xy),
     )
     co = jax.tree.map(
-        lambda x: x.astype(dtype) if hasattr(x, "astype") else x, co
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        co,
     )
     r, theta_dtau, etadtau = pt.r, pt.theta_dtau, pt.etadtau
 
