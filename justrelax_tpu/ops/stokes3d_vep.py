@@ -214,18 +214,26 @@ def update_stresses_center_edges_3d(
     theta_dtau,
     moves: StaggeredMoves | None = None,
     params: "VEPParams3D | None" = None,
+    probe_passes=None,
 ) -> VEPStressResult3D:
+    """``probe_passes`` is a PERF-BISECT hook (scripts/probe_vep3d.py):
+    ``("center",)`` skips the three edge passes, ``("edges",)`` skips the
+    center pass — each skipped pass degenerates to a passthrough with the
+    same output shapes so the iteration frame (traffic) is unchanged while
+    its compute is removed. Physics callers leave it None."""
     ni = Pr.shape
     names = ("yz", "xz", "xy")
     if moves is None:
         moves = serial_moves(ni)
     other_to_edge = moves.other_to_edge
+    do_edges = probe_passes is None or "edges" in probe_passes
+    do_center = probe_passes is None or "center" in probe_passes
 
     # ---------------- edge passes ------------------------------------------
     new_tau_e = []
     new_lam_e = []
     eps_pl_e = []
-    for k, name in enumerate(names):
+    for k, name in enumerate(names if do_edges else ()):
         a, b = _EDGE_AXES[name]
         Pv = moves.center_to_edge(Pr, a, b)
         eta_e = moves.harm_center_to_edge(eta, a, b)
@@ -285,6 +293,20 @@ def update_stresses_center_edges_3d(
         new_tau_e.append(t_new)
         new_lam_e.append(lam_new)
         eps_pl_e.append(e_pl)
+
+    if not do_edges:
+        new_tau_e = list(tau_e3)
+        new_lam_e = list(lam_e3)
+        eps_pl_e = [jnp.zeros_like(t) for t in tau_e3]
+
+    if not do_center:
+        return VEPStressResult3D(
+            tau_c=tau_c6, tau_e=tuple(new_tau_e), lam=lam,
+            lam_e=tuple(new_lam_e), tau_II=_inv_II(tau_c6), eta_vep=eta,
+            P_corrected=Pr,
+            eps_pl_c=tuple(jnp.zeros_like(t) for t in tau_c6),
+            eps_pl_e=tuple(eps_pl_e), eps_vol_pl=jnp.zeros_like(lam),
+        )
 
     # ---------------- center pass ------------------------------------------
     if params is None:

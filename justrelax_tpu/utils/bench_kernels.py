@@ -414,7 +414,7 @@ def ve3d(n=126, dtype=jnp.float32):
     return step, carry, consts, 35 * n_cells * 4, n_cells
 
 
-def vep3d(n=126, dtype=jnp.float32):
+def vep3d(n=126, dtype=jnp.float32, probe_passes=None):
     """One PT iteration of the 3D multi-phase VEP solve
     (solvers/stokes3d_vep.py one_iteration, ShearBand3D config): maxloc →
     compressible θ → strain rate → fused center+edges return mapping (3
@@ -515,6 +515,7 @@ def vep3d(n=126, dtype=jnp.float32):
                 eps[:3], eps[3:], c.tau_c, c.tau_e, tau_o_c6, tau_o_e3,
                 theta, c.eta, c.lam, c.lam_e, EII_pl,
                 material, pr.center, pr_edges, 0.2, dt, theta_dtau,
+                probe_passes=probe_passes,
             )
             tII = _inv_II(res.tau_c)
             eta_n = phase_viscosity(material, tII, None, pr.center, "tau")
