@@ -267,7 +267,8 @@ def run_goldens(level="default"):
 
 
 DEFAULT_FAMILIES = (
-    "ve2d,vep2d,vep2d_1024,thermal2d,ve3d,ve3d_canvas,vep3d,vep3d_canvas,"
+    "ve2d,vep2d,vep2d_1024,thermal2d,thermal3d,ve3d,ve3d_canvas,vep3d,"
+    "vep3d_canvas,"
     "pallas_ve2d,pallas_ve2d_blocked,pallas_ve3d_blocked,"
     "pallas_vep2d,pallas_vep2d_blocked,pallas_thermal2d"
 )

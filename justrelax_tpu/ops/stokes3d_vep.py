@@ -34,6 +34,7 @@ __all__ = [
     "update_stresses_center_edges_3d",
     "VEPStressResult3D",
     "VEPParams3D",
+    "make_vep_params_3d",
     "StaggeredMoves",
     "serial_moves",
 ]
@@ -57,13 +58,17 @@ class StaggeredMoves(NamedTuple):
 
 
 class VEPParams3D(NamedTuple):
-    """Precomputed per-lattice material parameters (phase-blended with the
-    solve-frozen EII and phase ratios) for :func:`update_stresses_center_edges_3d`.
+    """Precomputed per-lattice solve-invariants (phase blends with the
+    solve-frozen EII/phase ratios, and optionally the clamped edge
+    interpolants of the solve-frozen old stress τ_o) for
+    :func:`update_stresses_center_edges_3d`.
 
-    Used by the collocated-canvas path (ops/stokes3d_vep_canvas.py): the
-    blends involve (..., nphase) arrays whose trailing tiny dimension tiles
-    terribly on TPU, so they are evaluated ONCE per solve instead of per
-    iteration."""
+    Two measured motivations (v5e, 126³ f32, scripts/probe_vep3d.py):
+    the blends involve (..., nphase) arrays whose trailing tiny dimension
+    tiles terribly on TPU, and the three edge passes dominate the iteration
+    (~1150 µs/family vs ~560 µs for the whole center pass) largely through
+    per-iteration interpolation of solve-frozen fields — so both are
+    evaluated ONCE per solve."""
 
     ppc: Any          # PlasticParams at centers
     G_c: Any
@@ -71,6 +76,45 @@ class VEPParams3D(NamedTuple):
     ppe: tuple        # PlasticParams per edge family (yz, xz, xy)
     G_e: tuple
     K_e: tuple
+    tau_o6_e: Any = None  # per family: 6-tuple of τ_o interpolated to edges
+
+
+def make_vep_params_3d(material, EII_pl, phase_ratios_center,
+                       phase_ratios_edges, tau_o_c6, tau_o_e3,
+                       moves: "StaggeredMoves | None" = None) -> VEPParams3D:
+    """Hoist everything in the fused stress update that is frozen during a
+    PT solve: the phase-blended plastic parameters / moduli (EII and phase
+    ratios only move between solves) and the clamped edge interpolants of
+    the old stress τ_o (reference reads, e.g. av_clamped_yz(τ_o[1], ...),
+    StressKernels.jl:723-728 — identical arithmetic, evaluated once).
+    Bitwise-equal to the in-loop evaluation by construction."""
+    ni = EII_pl.shape
+    names = ("yz", "xz", "xy")
+    if moves is None:
+        moves = serial_moves(ni)
+    ppe, G_e, K_e, tau_o6_e = [], [], [], []
+    for k, name in enumerate(names):
+        a, b = _EDGE_AXES[name]
+        pr_e = phase_ratios_edges[k]
+        EII_e = moves.center_to_edge(EII_pl, a, b)
+        ppe.append(plastic_params_phase(material, EII_e, pr_e))
+        G_e.append(get_shear_modulus(material, pr_e))
+        K_e.append(get_bulk_modulus(material, pr_e))
+        t_no = [moves.center_to_edge(tau_o_c6[i], a, b) for i in range(3)]
+        t_so = []
+        for m, mname in enumerate(names):
+            if mname == name:
+                t_so.append(tau_o_e3[m])
+            else:
+                t_so.append(moves.other_to_edge(mname, name, tau_o_e3[m]))
+        tau_o6_e.append(tuple(t_no) + tuple(t_so))
+    return VEPParams3D(
+        ppc=plastic_params_phase(material, EII_pl, phase_ratios_center),
+        G_c=get_shear_modulus(material, phase_ratios_center),
+        K_c=get_bulk_modulus(material, phase_ratios_center),
+        ppe=tuple(ppe), G_e=tuple(G_e), K_e=tuple(K_e),
+        tau_o6_e=tuple(tau_o6_e),
+    )
 
 
 class VEPStressResult3D(NamedTuple):
@@ -248,10 +292,12 @@ def update_stresses_center_edges_3d(
         _Gedt = 1.0 / (G_e * dt)
         dtau_re = 1.0 / (theta_dtau + eta_e * _Gedt + 1.0)
 
-        # normal components interpolated from centers
+        # normal components interpolated from centers; τ_o interpolants are
+        # solve-frozen — precomputed when params carries them
+        hoisted_o = params is not None and params.tau_o6_e is not None
         t_n = [moves.center_to_edge(tau_c6[i], a, b) for i in range(3)]
-        t_no = [moves.center_to_edge(tau_o_c6[i], a, b) for i in range(3)]
-        e_n = [moves.center_to_edge(eps_c3[i], a, b) for i in range(3)]
+        if not hoisted_o:
+            t_no = [moves.center_to_edge(tau_o_c6[i], a, b) for i in range(3)]
         # this family's own shear lives here; the other two interpolate over
         t_s, t_so, e_s = {}, {}, {}
         for m, mname in enumerate(names):
@@ -261,11 +307,16 @@ def update_stresses_center_edges_3d(
                 e_s[mname] = eps_e3[m]
             else:
                 t_s[mname] = other_to_edge(mname, name, tau_e3[m])
-                t_so[mname] = other_to_edge(mname, name, tau_o_e3[m])
+                if not hoisted_o:
+                    t_so[mname] = other_to_edge(mname, name, tau_o_e3[m])
                 e_s[mname] = other_to_edge(mname, name, eps_e3[m])
+        e_n = [moves.center_to_edge(eps_c3[i], a, b) for i in range(3)]
 
         t6 = tuple(t_n) + (t_s["yz"], t_s["xz"], t_s["xy"])
-        t6o = tuple(t_no) + (t_so["yz"], t_so["xz"], t_so["xy"])
+        if hoisted_o:
+            t6o = params.tau_o6_e[k]
+        else:
+            t6o = tuple(t_no) + (t_so["yz"], t_so["xz"], t_so["xy"])
         e6 = tuple(e_n) + (e_s["yz"], e_s["xz"], e_s["xy"])
         d6 = tuple(
             _stress_increment(t6[i], t6o[i], eta_e, e6[i], _Gedt, dtau_re)

@@ -255,15 +255,29 @@ def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
     ppc = plastic_params_phase(material, EII_c, pr_cc)
     G_c = get_shear_modulus(material, pr_cc)
     K_c = get_bulk_modulus(material, pr_cc)
-    ppe, G_e, K_e = [], [], []
+    tau_oc_canvas = tuple(embed_center(t) for t in tau_o_c6)
+    tau_oe_canvas = tuple(embed_edge(t, k) for k, t in enumerate(tau_o_e3))
+    names3 = ("yz", "xz", "xy")
+    ppe, G_e, K_e, tau_o6_e = [], [], [], []
     for k, (a, b) in enumerate(_EDGE_AXES3):
         EII_e = moves.center_to_edge(EII_c, a, b)
         ppe.append(plastic_params_phase(material, EII_e, pr_ec[k]))
         G_e.append(get_shear_modulus(material, pr_ec[k]))
         K_e.append(get_bulk_modulus(material, pr_ec[k]))
+        # τ_o edge interpolants are solve-frozen — hoisted like the blends
+        t_no = [moves.center_to_edge(tau_oc_canvas[i], a, b) for i in range(3)]
+        t_so = []
+        for m, mname in enumerate(names3):
+            if m == k:
+                t_so.append(tau_oe_canvas[m])
+            else:
+                t_so.append(moves.other_to_edge(mname, names3[k],
+                                                tau_oe_canvas[m]))
+        tau_o6_e.append(tuple(t_no) + tuple(t_so))
     params = VEPParams3D(
         ppc=ppc, G_c=G_c, K_c=K_c,
         ppe=tuple(ppe), G_e=tuple(G_e), K_e=tuple(K_e),
+        tau_o6_e=tuple(tau_o6_e),
     )
 
     # buoyancy: ρ(T, P)·g is affine in P with T frozen (phase_average is
@@ -321,8 +335,8 @@ def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
 
     return VEP3DCanvasConsts(
         params=params,
-        tau_o_c=tuple(embed_center(t) for t in tau_o_c6),
-        tau_o_e=tuple(embed_edge(t, k) for k, t in enumerate(tau_o_e3)),
+        tau_o_c=tau_oc_canvas,
+        tau_o_e=tau_oe_canvas,
         P0=embed_center(P0),
         Q=embed_center(Q),
         fzA=fzA, fzB=fzB,

@@ -225,6 +225,15 @@ def solve_vep_sharded_3d(
         K_c = get_bulk_modulus(material, ratios_c)
         G_c = get_shear_modulus(material, ratios_c)
 
+        # hoist the solve-invariants of the fused stress update with the
+        # halo-aware moves (bitwise-equal; see solvers/stokes3d_vep.py)
+        from justrelax_tpu.ops.stokes3d_vep import make_vep_params_3d
+
+        vep_params = make_vep_params_3d(
+            material, EII_pl, ratios_c, ratios_e, tau_o_c6, tau_o_e3,
+            moves=moves,
+        )
+
         def rho_g_fields(Pc):
             rho = compute_density(material, T=T, P=Pc, phase_ratios=ratios_c)
             g = phase_average(_as_stack(material).params.gravity, ratios_c)
@@ -338,7 +347,7 @@ def solve_vep_sharded_3d(
                 theta, c.eta, c.lam, c.lam_e, EII_pl,
                 material, ratios_c, ratios_e,
                 lambda_relaxation, dt, theta_dtau,
-                moves=moves,
+                moves=moves, params=vep_params,
             )
             eta = refresh_viscosity(c.eta, res.tau_c)
             tau6 = res.tau_c[:3] + res.tau_e

@@ -209,6 +209,17 @@ def _solve_vep_3d(
     K_c = get_bulk_modulus(material, phase_ratios_center)
     G_c = get_shear_modulus(material, phase_ratios_center)
 
+    # hoist solve-invariants of the fused stress update (phase blends + τ_o
+    # edge interpolants; bitwise-equal to in-loop evaluation) — the three
+    # edge passes dominate the iteration (~1150 µs/family vs 560 µs for the
+    # whole center pass at 126^3, scripts/probe_vep3d.py)
+    from justrelax_tpu.ops.stokes3d_vep import make_vep_params_3d
+
+    vep_params = make_vep_params_3d(
+        material, EII_pl, phase_ratios_center, phase_ratios_edges,
+        tau_o_c6, tau_o_e3,
+    )
+
     if phi is not None:
         from justrelax_tpu.ops.rock_ratio import valid_masks_3d
 
@@ -294,6 +305,7 @@ def _solve_vep_3d(
             theta, c.eta, c.lam, c.lam_e, EII_pl,
             material, phase_ratios_center, phase_ratios_edges,
             lambda_relaxation, dt, theta_dtau,
+            params=vep_params,
         )
         eta = refresh_viscosity(c.eta, res.tau_c)
         tau_c_m, tau_e_m = mask_tau(res.tau_c, res.tau_e)

@@ -347,6 +347,64 @@ def thermal2d(nx=1024, ny=1024, dtype=jnp.float32):
     return step, carry, consts, 16 * n_cells * 4, n_cells
 
 
+def thermal3d(n=126, dtype=jnp.float32):
+    """One 3D PT heat-diffusion iteration — same kernels as ``thermal2d``
+    (ops/thermal.py is dimension-agnostic), 3D shapes.
+
+    Traffic: unknowns (R+W) T, q×3, q2×3 → 14·N; read-only Told, K,
+    θr_dτ, dτ_ρ, ρCp, H → 6·N. A_eff = 20·N·4 B. n=126 keeps the ghosted
+    T minor dim at one 128-lane tile (see ve3d note).
+    """
+    from justrelax_tpu.core.coeffs import PTThermalCoeffs
+    from justrelax_tpu.ops import thermal as kernels
+    from justrelax_tpu.ops.bc import Faces, TemperatureBoundaryConditions, thermal_bcs
+
+    ni = (n, n, n)
+    li = (100.0e3,) * 3
+    di = tuple(l / n for l in li)
+    inv_di = tuple(1.0 / d for d in di)
+    K = jnp.full(ni, 3.0, dtype)
+    rho_Cp = jnp.full(ni, 3.3e6, dtype)
+    dt = 1.5e11
+    coeffs = PTThermalCoeffs.make(K, rho_Cp, dt, di, li)
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(1500.0 + 10.0 * rng.normal(size=tuple(x + 2 for x in ni)),
+                    dtype)
+    Told = T
+    H = jnp.zeros(ni, dtype)
+    bcs = TemperatureBoundaryConditions(
+        no_flux=Faces(left=True, right=True, front=True, back=True),
+        constant_value=Faces(top=True, bot=True),
+    )
+    theta_r_dtau = coeffs.theta_r_dtau.astype(dtype)
+    dtau_rho = coeffs.dtau_rho.astype(dtype)
+    inv_dt = 1.0 / dt
+
+    def step(n_iter, carry, consts):
+        Told, K, rho_Cp, H = consts
+
+        def body(_, c):
+            T, q, q2 = c
+            q, q2 = kernels.compute_flux(
+                q, q2, T, inv_di, theta_r_dtau, bcs.constant_flux, K=K
+            )
+            T = kernels.update_T(
+                T, Told, q, H, H, inv_dt, inv_di, dtau_rho, rho_Cp=rho_Cp
+            )
+            T = thermal_bcs(T, bcs)
+            return (T, q, q2)
+
+        return lax.fori_loop(0, n_iter, body, carry)
+
+    qx = jnp.zeros((n + 1, n, n), dtype)
+    qy = jnp.zeros((n, n + 1, n), dtype)
+    qz = jnp.zeros((n, n, n + 1), dtype)
+    carry = (T, (qx, qy, qz), (qx, qy, qz))
+    consts = (Told, K, rho_Cp, H)
+    n_cells = n * n * n
+    return step, carry, consts, 20 * n_cells * 4, n_cells
+
+
 # --------------------------------------------------------------------------
 # 3D visco-elastic Stokes
 # --------------------------------------------------------------------------
@@ -414,7 +472,7 @@ def ve3d(n=126, dtype=jnp.float32):
     return step, carry, consts, 35 * n_cells * 4, n_cells
 
 
-def vep3d(n=126, dtype=jnp.float32, probe_passes=None):
+def vep3d(n=126, dtype=jnp.float32, probe_passes=None, hoist_params=True):
     """One PT iteration of the 3D multi-phase VEP solve
     (solvers/stokes3d_vep.py one_iteration, ShearBand3D config): maxloc →
     compressible θ → strain rate → fused center+edges return mapping (3
@@ -439,6 +497,7 @@ def vep3d(n=126, dtype=jnp.float32, probe_passes=None):
     from justrelax_tpu.ops.stokes import compute_P
     from justrelax_tpu.ops.stokes3d_vep import (
         _inv_II,
+        make_vep_params_3d,
         update_stresses_center_edges_3d,
     )
     from justrelax_tpu.rheology.materials import (
@@ -502,6 +561,11 @@ def vep3d(n=126, dtype=jnp.float32, probe_passes=None):
 
     def step(n_iter, carry, consts):
         P0, Q, tau_o_c6, tau_o_e3, EII_pl = consts
+        # solver parity: solve_vep_3d hoists the solve-invariants once per
+        # solve (ops/stokes3d_vep.py::make_vep_params_3d)
+        vp = make_vep_params_3d(
+            material, EII_pl, pr.center, pr_edges, tau_o_c6, tau_o_e3
+        ) if hoist_params else None
 
         def body(_, c):
             Vx, Vy, Vz = c.V
@@ -515,7 +579,7 @@ def vep3d(n=126, dtype=jnp.float32, probe_passes=None):
                 eps[:3], eps[3:], c.tau_c, c.tau_e, tau_o_c6, tau_o_e3,
                 theta, c.eta, c.lam, c.lam_e, EII_pl,
                 material, pr.center, pr_edges, 0.2, dt, theta_dtau,
-                probe_passes=probe_passes,
+                probe_passes=probe_passes, params=vp,
             )
             tII = _inv_II(res.tau_c)
             eta_n = phase_viscosity(material, tII, None, pr.center, "tau")
@@ -1056,6 +1120,7 @@ FAMILIES = {
     "vep2d": vep2d,
     "vep2d_1024": vep2d_1024,
     "thermal2d": thermal2d,
+    "thermal3d": thermal3d,
     "ve3d": ve3d,
     "ve3d_canvas": ve3d_canvas,
     "vep3d": vep3d,
