@@ -111,28 +111,34 @@ def extract_edge(C, fam):
     return C[sl]
 
 
-def _ghost_refresh(A, ax, n, sm1, sp1):
+def _ghost_refresh(A, ax, n, sm1, sp1, off=0):
     """Replicate the interior boundary values into the ghost slabs of a
     CENTER-collocated canvas axis (slots 1..n interior): slot 0 ← slot 1,
-    slot n+1 ← slot n. Equivalent to the reference's clamped indexing."""
-    lo = _band(A.shape[:3], ax, 0, 0)
-    hi = _band(A.shape[:3], ax, n + 1, n + 1)
+    slot n+1 ← slot n. Equivalent to the reference's clamped indexing.
+    ``off`` maps local rows to global rows along ``ax`` (windowed/Pallas
+    execution, cf. stokes3d_canvas.iteration3d_canvas's x_off)."""
+    lo = _band(A.shape[:3], ax, 0, 0, offset=off)
+    hi = _band(A.shape[:3], ax, n + 1, n + 1, offset=off)
     if A.ndim > 3:
         lo, hi = lo[..., None], hi[..., None]
     return jnp.where(lo, sm1(A, ax), jnp.where(hi, sp1(A, ax), A))
 
 
-def canvas_moves(ni, shift="slice") -> StaggeredMoves:
+def canvas_moves(ni, shift="slice", x_off=0) -> StaggeredMoves:
     """Canvas-collocated clamped staggered moves (≙ serial_moves, but every
     array is an (nx+2, ny+2, nz+2) canvas; proven equal in
-    tests/test_vep3d_canvas.py)."""
+    tests/test_vep3d_canvas.py). ``x_off`` maps local canvas rows to global
+    rows along axis 0 for windowed (Pallas x-slab) execution."""
     n_ax = ni
     _sm1, _sp1 = shift_fns(shift)
+
+    def off(ax):
+        return x_off if ax == 0 else 0
 
     def center_to_edge(A, a, b):
         out = A
         for ax in (a, b):
-            out = _ghost_refresh(out, ax, n_ax[ax], _sm1, _sp1)
+            out = _ghost_refresh(out, ax, n_ax[ax], _sm1, _sp1, off(ax))
             out = 0.5 * (out + _sm1(out, ax))
         return out
 
@@ -151,15 +157,16 @@ def canvas_moves(ni, shift="slice") -> StaggeredMoves:
         # _pair_fwd (center-count clamp: the outermost staggered face along
         # src_only is never read): replace slot n with slot n-1, then
         # backward pair-average onto center slots 1..n
-        last = _band(A.shape, src_only, n, n)
+        last = _band(A.shape, src_only, n, n, offset=off(src_only))
         Ax = jnp.where(last, _sp1(A, src_only), A)
         out = 0.5 * (_sp1(Ax, src_only) + Ax)
         # _pair_back along the destination's extra staggered axis
-        out = _ghost_refresh(out, dst_only, n_ax[dst_only], _sm1, _sp1)
+        out = _ghost_refresh(out, dst_only, n_ax[dst_only], _sm1, _sp1,
+                             off(dst_only))
         out = 0.5 * (out + _sm1(out, dst_only))
         # _idx_clamp along the shared staggered axis (slot n ← slot n-1)
         ns = n_ax[shared]
-        lasts = _band(out.shape, shared, ns, ns)
+        lasts = _band(out.shape, shared, ns, ns, offset=off(shared))
         return jnp.where(lasts, _sp1(out, shared), out)
 
     def edge_to_center(A, ax0, ax1):
@@ -174,13 +181,13 @@ def canvas_moves(ni, shift="slice") -> StaggeredMoves:
     )
 
 
-def _maxloc_canvas(A, ni, sm1, sp1):
+def _maxloc_canvas(A, ni, sm1, sp1, x_off=0):
     """maxloc(window=1) with clamped boundaries on a center canvas
     (ops/stencil.py::maxloc semantics: separable per-axis 3-point max with
     edge clamping ≡ ghost replication)."""
     B = A
     for ax in range(3):
-        B = _ghost_refresh(B, ax, ni[ax], sm1, sp1)
+        B = _ghost_refresh(B, ax, ni[ax], sm1, sp1, x_off if ax == 0 else 0)
         B = jnp.maximum(B, jnp.maximum(sm1(B, ax), sp1(B, ax)))
     return B
 
@@ -223,14 +230,22 @@ class VEP3DCanvasCarry(NamedTuple):
 
 def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
                         phase_ratios_center, phase_ratios_edges,
-                        T=None, visc_m="auto") -> VEP3DCanvasConsts:
+                        T=None, visc_m="auto", hoist_tau_o=True,
+                        scalar_plastic=False) -> VEP3DCanvasConsts:
     """Build the loop-invariant canvases (one-time cost per solve).
 
     ``visc_m`` is the shared power-law exponent minus one of the creep
     table (``rheology.viscosity.shared_powerlaw_exponent``), ``None`` for a
     linear table, or "auto" to resolve from a CONCRETE material (raises
     under jit tracing — pass it explicitly there, mirroring the 2D
-    ``pallas_visc_m`` escape hatch)."""
+    ``pallas_visc_m`` escape hatch).
+
+    ``hoist_tau_o=False`` keeps the τ_o edge interpolants in-loop (the
+    Pallas blocked kernel re-derives them in VMEM where compute is free and
+    18 canvases of DMA are not). ``scalar_plastic=True`` collapses the
+    plastic-parameter blends to 0-d scalars via a one-hot evaluation —
+    exact only when plasticity is phase-uniform with softening off
+    (``pallas_stokes3d_vep_blocked.vep3d_blocked_supported`` guards it)."""
     from justrelax_tpu.ops.stokes3d_vep import VEPParams3D
     from justrelax_tpu.rheology.materials import (
         get_bulk_modulus,
@@ -252,7 +267,17 @@ def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
     T_c = None if T is None else embed_center(T, mode="edge")
     moves = canvas_moves(EII_pl.shape)
 
-    ppc = plastic_params_phase(material, EII_c, pr_cc)
+    if scalar_plastic:
+        # one-hot evaluation: with phase-uniform plasticity (guarded by the
+        # caller) any one-hot ratio reproduces the blend exactly, so the 9
+        # PlasticParams fields collapse to 0-d scalars (SMEM in the kernel)
+        nphase = _as_stack(material).params.eta0.shape[0]
+        onehot = jnp.zeros((1, nphase)).at[0, 0].set(1.0)
+        pp_s = plastic_params_phase(material, jnp.zeros((1,)), onehot)
+        pp_s = type(pp_s)(*(v[0] for v in pp_s))
+        ppc = pp_s
+    else:
+        ppc = plastic_params_phase(material, EII_c, pr_cc)
     G_c = get_shear_modulus(material, pr_cc)
     K_c = get_bulk_modulus(material, pr_cc)
     tau_oc_canvas = tuple(embed_center(t) for t in tau_o_c6)
@@ -260,10 +285,15 @@ def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
     names3 = ("yz", "xz", "xy")
     ppe, G_e, K_e, tau_o6_e = [], [], [], []
     for k, (a, b) in enumerate(_EDGE_AXES3):
-        EII_e = moves.center_to_edge(EII_c, a, b)
-        ppe.append(plastic_params_phase(material, EII_e, pr_ec[k]))
+        if scalar_plastic:
+            ppe.append(pp_s)
+        else:
+            EII_e = moves.center_to_edge(EII_c, a, b)
+            ppe.append(plastic_params_phase(material, EII_e, pr_ec[k]))
         G_e.append(get_shear_modulus(material, pr_ec[k]))
         K_e.append(get_bulk_modulus(material, pr_ec[k]))
+        if not hoist_tau_o:
+            continue
         # τ_o edge interpolants are solve-frozen — hoisted like the blends
         t_no = [moves.center_to_edge(tau_oc_canvas[i], a, b) for i in range(3)]
         t_so = []
@@ -277,7 +307,7 @@ def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
     params = VEPParams3D(
         ppc=ppc, G_c=G_c, K_c=K_c,
         ppe=tuple(ppe), G_e=tuple(G_e), K_e=tuple(K_e),
-        tau_o6_e=tuple(tau_o6_e),
+        tau_o6_e=tuple(tau_o6_e) if hoist_tau_o else None,
     )
 
     # buoyancy: ρ(T, P)·g is affine in P with T frozen (phase_average is
@@ -357,21 +387,24 @@ def iteration_vep3d_canvas(
     viscosity_relaxation,
     viscosity_cutoff=(-jnp.inf, jnp.inf),
     shift="slice",
+    x_off=0,
 ):
     """One fused 3D VEP PT iteration on collocated canvases — semantics of
     solvers/stokes3d_vep.py::one_iteration (maxloc → θ update → ρ(T,P)·g →
     strain rate → fused center+edges return mapping → τII viscosity
-    continuation → damped velocity update + free-slip BCs)."""
+    continuation → damped velocity update + free-slip BCs). ``x_off`` maps
+    local canvas rows to global rows for windowed (Pallas x-slab) execution;
+    ``shift="roll"`` is the Mosaic-compatible lowering."""
     ni = (nx, ny, nz)
     _sm1, _sp1 = shift_fns(shift)
-    moves = canvas_moves(ni, shift=shift)
+    moves = canvas_moves(ni, shift=shift, x_off=x_off)
     Vx, Vy, Vz = c.V
     inv_dx, inv_dy, inv_dz = inv_di
     shape = c.P.shape
     dtype = c.P.dtype
 
     def xb(lo, hi):
-        return _band(shape, 0, lo, hi)
+        return _band(shape, 0, lo, hi, offset=x_off)
 
     def yb(lo, hi):
         return _band(shape, 1, lo, hi)
@@ -392,7 +425,7 @@ def iteration_vep3d_canvas(
     MVz = xb(1, nx) & yb(1, ny) & zb(1, nz - 1)
 
     # 1. maxloc preconditioner + divergence + compressible θ iterate
-    eta_tau = _maxloc_canvas(c.eta, ni, _sm1, _sp1)
+    eta_tau = _maxloc_canvas(c.eta, ni, _sm1, _sp1, x_off)
     dVxdx = (Vx - _sp1(Vx, 0)) * inv_dx
     dVydy = (Vy - _sp1(Vy, 1)) * inv_dy
     dVzdz = (Vz - _sp1(Vz, 2)) * inv_dz

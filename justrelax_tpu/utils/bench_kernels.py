@@ -1022,12 +1022,20 @@ def vep2d_1024(dtype=jnp.float32):
     return vep2d(n=1024, dtype=dtype)
 
 
-def vep3d_canvas(n=126, dtype=jnp.float32):
+def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False,
+                 plane_block=None, iters_per_pass=None, pipeline=False,
+                 spill=110):
     """Collocated-canvas 3D VEP iteration (ops/stokes3d_vep_canvas.py) —
     same physics config and 71·N·4 B traffic convention as ``vep3d`` so the
     rows are directly comparable. The return-mapping body is the SAME
     update_stresses_center_edges_3d; only the staggered moves differ
-    (canvas rolls+selects vs mixed-shape clamped slices)."""
+    (canvas rolls+selects vs mixed-shape clamped slices).
+
+    ``blocked=True`` (the ``pallas_vep3d_blocked`` family) streams the same
+    body through the x-slab Pallas kernel
+    (ops/pallas_stokes3d_vep_blocked.py): scalar plastic params, in-VMEM
+    τ_o interpolant re-derivation, every intermediate materialized once —
+    the fix for XLA's in-fusion recompute blow-up on this body."""
     import numpy as _np
 
     from justrelax_tpu.core.coeffs import PTStokesCoeffs
@@ -1095,6 +1103,7 @@ def vep3d_canvas(n=126, dtype=jnp.float32):
     co = vep3d_canvas_consts(
         material, (txx_o, -txx_o, Z, Z, Z, Z), (tyz, txz, txy), Z, Z, Z,
         pr.center, (pr.edge_yz, pr.edge_xz, pr.edge_xy),
+        hoist_tau_o=not blocked, scalar_plastic=blocked,
     )
     co = jax.tree.map(
         lambda x: x.astype(dtype)
@@ -1103,16 +1112,32 @@ def vep3d_canvas(n=126, dtype=jnp.float32):
         co,
     )
     r, theta_dtau, etadtau = pt.r, pt.theta_dtau, pt.etadtau
+    kw = dict(dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
+              lambda_relaxation=0.2, viscosity_relaxation=1.0e-2)
 
-    def step(n_iter, carry, consts):
-        return vep3d_chunk_canvas(
-            carry, consts, material, inv_di, n_iter,
-            dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
-            lambda_relaxation=0.2, viscosity_relaxation=1.0e-2,
+    if blocked:
+        from justrelax_tpu.ops.pallas_stokes3d_vep_blocked import (
+            stokes3d_vep_chunk_blocked,
         )
+
+        def step(n_iter, carry, consts):
+            return stokes3d_vep_chunk_blocked(
+                carry, consts, inv_di, n_iter,
+                plane_block=plane_block, iters_per_pass=iters_per_pass,
+                pipeline=pipeline, spill=spill, **kw,
+            )
+    else:
+        def step(n_iter, carry, consts):
+            return vep3d_chunk_canvas(
+                carry, consts, material, inv_di, n_iter, **kw,
+            )
 
     n_cells = n * n * n
     return step, carry, co, 71 * n_cells * 4, n_cells
+
+
+def pallas_vep3d_blocked(**kw):
+    return vep3d_canvas(blocked=True, **kw)
 
 
 FAMILIES = {
@@ -1126,6 +1151,7 @@ FAMILIES = {
     "vep3d": vep3d,
     "vep3d_canvas": vep3d_canvas,
     "pallas_ve2d": pallas_ve2d,
+    "pallas_vep3d_blocked": pallas_vep3d_blocked,
     "pallas_ve2d_blocked": pallas_ve2d_blocked,
     "pallas_ve3d_blocked": pallas_ve3d_blocked,
     "pallas_vep2d": pallas_vep2d,
