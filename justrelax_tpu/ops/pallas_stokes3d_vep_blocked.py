@@ -92,17 +92,23 @@ def vep3d_blocked_supported(material) -> bool:
 
 
 def _flatten_vep_consts(co: VEP3DCanvasConsts):
-    """(canvas list, names) + (plastic scalars from co.params.ppc).
+    """(canvas list, canvas names, extra scalars, scalar names, plastic
+    scalars). 0-d const values (e.g. the scalar-K collapse) ride in SMEM.
     Requires scalar-plastic consts (vep3d_canvas_consts(scalar_plastic=True,
     hoist_tau_o=False))."""
-    arrays, names = [], []
+    arrays, names, scalars, snames = [], [], [], []
 
     def put(name, v):
         if v is None:
             return
-        assert v.ndim == 3, (name, v.shape)
-        arrays.append(v)
-        names.append(name)
+        v = jnp.asarray(v)
+        if v.ndim == 0:
+            scalars.append(v)
+            snames.append(name)
+        else:
+            assert v.ndim == 3, (name, v.shape)
+            arrays.append(v)
+            names.append(name)
 
     p = co.params
     put("G_c", p.G_c)
@@ -125,12 +131,13 @@ def _flatten_vep_consts(co: VEP3DCanvasConsts):
     assert jnp.asarray(pp.C_cosphi).ndim == 0, "scalar_plastic consts required"
     # keep full precision here — the caller's scalar stack picks the dtype
     pp_scalars = [jnp.asarray(getattr(pp, f)) for f in _PP_FIELDS]
-    return arrays, tuple(names), pp_scalars
+    return arrays, tuple(names), scalars, tuple(snames), pp_scalars
 
 
-def _rebuild_vep_consts(get, names, pp: PlasticParams,
+def _rebuild_vep_consts(get, names, sget, snames, pp: PlasticParams,
                         visc_m) -> VEP3DCanvasConsts:
     vals = {nm: get(i) for i, nm in enumerate(names)}
+    vals.update({nm: sget(i) for i, nm in enumerate(snames)})
     params = VEPParams3D(
         ppc=pp,
         G_c=vals["G_c"], K_c=vals["K_c"],
@@ -153,50 +160,67 @@ def _rebuild_vep_consts(get, names, pp: PlasticParams,
 
 def choose_blocking_vep3d(nx, ny, nz, n_const, itemsize=4,
                           plane_block=None, iters_per_pass=None,
-                          budget=105 * 1024 * 1024, n_slots=1,
-                          spill=110):
-    """Pick (R, k, n_blocks, X_pad, W) for the blocked VEP kernel.
+                          budget=123 * 1024 * 1024, n_slots=1,
+                          nvals=190, y_block=None):
+    """Pick (R, Ry, k, nbx, nby, X_pad, Y_pad, W, Wy) for the 2D-blocked
+    VEP kernel.
 
-    Same score/constraints as choose_blocking_3d but with the VEP's
-    x-radius 3 (halo H = 3k) and a ``spill``·W in-flight/register-spill
-    term for the much larger return-mapping body (the VE body calibrated
-    at 46·W; the 2D VEP chunk at ~90·W rows — start high and let the
-    compiler's exact OOM reports recalibrate)."""
+    Unlike the VE kernel's 46·W spill model, the VEP body's register-spill
+    footprint is ~nvals INDEPENDENT (W, Wy, Z)-shaped values (measured:
+    98.77 MB at W=10 full-y = 151 values; 113.22 MB at W=9 = 192 — NOT
+    proportional to W), so x-only blocking cannot fit 126³: the kernel
+    blocks x AND y to shrink every value. Halo is 3k per side per blocked
+    axis (the VEP iteration's stencil radius is 3). Scored by modeled HBM
+    traffic per iteration, subject to spill + scratch + output ≤ budget."""
     X = nx + 2
-    y_pad = -((ny + 2) // -8) * 8
+    Y = ny + 2
+    y_pad_g = -(Y // -8) * 8
     z_pad = -((nz + 2) // -128) * 128
-    plane = y_pad * z_pad * itemsize
     n_tot = _N_CARRY + n_const
-    ks = [iters_per_pass] if iters_per_pass else [4, 3, 2, 1]
-    rs = [plane_block] if plane_block else list(range(64, 3, -1))
+    ks = [iters_per_pass] if iters_per_pass else [3, 2, 1]
+    rs = [plane_block] if plane_block else list(range(64, 2, -1))
+    rys = [y_block] if y_block else [y_pad_g] + list(range(112, 7, -8))
     best = None
     for k in ks:
         H = 3 * k
         for r_t in rs:
-            n_blocks = -(X // -r_t)
-            if n_blocks < 2:
+            nbx = -(X // -r_t)
+            if nbx < 2:
                 continue
-            R = -(X // -n_blocks)
+            R = -(X // -nbx)
             W = R + 2 * H
-            X_pad = R * n_blocks
-            if X_pad < W or R < H or (n_blocks - 1) * R < 2 * H:
+            X_pad = R * nbx
+            if X_pad < W or R < H or (nbx - 1) * R < 2 * H:
                 continue
-            vmem = (
-                (n_slots * n_tot + spill) * W + 2 * _N_CARRY * R
-            ) * plane
-            if vmem > budget:
-                continue
-            traffic = (n_tot * W / R + _N_CARRY) / k
-            if best is None or traffic < best[0]:
-                best = (traffic, (R, k, n_blocks, X_pad, W))
+            for ry_t in rys:
+                nby = -(y_pad_g // -ry_t)
+                if nby == 1:
+                    Ry, Wy, Y_pad = y_pad_g, y_pad_g, y_pad_g
+                else:
+                    Ry = -(y_pad_g // -nby)
+                    nby = -(y_pad_g // -Ry)
+                    Wy = Ry + 2 * H
+                    Y_pad = Ry * nby
+                    if Y_pad < Wy or Ry < H or (nby - 1) * Ry < 2 * H:
+                        continue
+                # sublane tiling pads Wy up to a multiple of 8 in VMEM
+                v = W * (-(Wy // -8) * 8) * z_pad * itemsize
+                vmem = (nvals + n_slots * n_tot) * v \
+                    + 2 * _N_CARRY * R * Ry * z_pad * itemsize
+                if vmem > budget:
+                    continue
+                traffic = (n_tot * (W * Wy) / (R * Ry) + _N_CARRY) / k
+                if best is None or traffic < best[0]:
+                    best = (traffic, (R, Ry, k, nbx, nby, X_pad, Y_pad, W, Wy))
     return None if best is None else best[1]
 
 
 def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
                     scr_c, scr_k, sem_c, sem_k,
-                    *, nx, ny, nz, R, H, W, X_pad, n_blocks, n_slots,
-                    pipeline, names, visc_m):
+                    *, nx, ny, nz, R, Ry, H, W, Wy, X_pad, Y_pad,
+                    nbx, nby, names, snames, visc_m):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     inv_di = (scal_ref[0], scal_ref[1], scal_ref[2])
     dt, r, theta_dtau, etadtau = (scal_ref[3], scal_ref[4], scal_ref[5],
                                   scal_ref[6])
@@ -204,53 +228,46 @@ def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
     cut_lo, cut_hi = scal_ref[9], scal_ref[10]
     n_lead = 11
     pp = PlasticParams(*(
-        scal_ref[n_lead + j] > 0.5 if f == "is_pl" else scal_ref[n_lead + j]
-        for j, f in enumerate(_PP_FIELDS)
+        scal_ref[n_lead + jj] > 0.5 if f == "is_pl" else scal_ref[n_lead + jj]
+        for jj, f in enumerate(_PP_FIELDS)
     ))
+    n_pp = n_lead + len(_PP_FIELDS)
     k_act = nit_ref[0]
 
-    def wstart(b):
+    def wstart_x(b):
         return jnp.clip(b * R - H, 0, X_pad - W)
 
-    def dma_c(slot, b):
-        return pltpu.make_async_copy(
-            carry_hbm.at[:, pl.ds(wstart(b), W)], scr_c.at[slot], sem_c.at[slot]
-        )
+    def wstart_y(b):
+        if nby == 1:
+            return 0
+        return jnp.clip(b * Ry - H, 0, Y_pad - Wy)
 
-    def dma_k(slot, b):
-        return pltpu.make_async_copy(
-            const_hbm.at[:, pl.ds(wstart(b), W)], scr_k.at[slot], sem_k.at[slot]
-        )
+    x0 = wstart_x(i)
+    y0 = wstart_y(j)
+    pltpu.make_async_copy(
+        carry_hbm.at[:, pl.ds(x0, W), pl.ds(y0, Wy)], scr_c, sem_c
+    ).start()
+    pltpu.make_async_copy(
+        const_hbm.at[:, pl.ds(x0, W), pl.ds(y0, Wy)], scr_k, sem_k
+    ).start()
+    pltpu.make_async_copy(
+        carry_hbm.at[:, pl.ds(x0, W), pl.ds(y0, Wy)], scr_c, sem_c
+    ).wait()
+    pltpu.make_async_copy(
+        const_hbm.at[:, pl.ds(x0, W), pl.ds(y0, Wy)], scr_k, sem_k
+    ).wait()
 
-    if pipeline:
-        @pl.when(i == 0)
-        def _():
-            dma_c(0, 0).start()
-            dma_k(0, 0).start()
-
-        @pl.when(i + 1 < n_blocks)
-        def _():
-            nxt = (i + 1) % n_slots
-            dma_c(nxt, i + 1).start()
-            dma_k(nxt, i + 1).start()
-
-        slot = i % n_slots
-    else:
-        slot = 0
-        dma_c(0, i).start()
-        dma_k(0, i).start()
-    dma_c(slot, i).wait()
-    dma_k(slot, i).wait()
-
-    start = wstart(i)
-    co = _rebuild_vep_consts(lambda j: scr_k[slot, j], names, pp, visc_m)
+    co = _rebuild_vep_consts(
+        lambda jj: scr_k[jj], names,
+        lambda jj: scal_ref[n_pp + jj], snames, pp, visc_m,
+    )
     carry = VEP3DCanvasCarry(
-        V=(scr_c[slot, 0], scr_c[slot, 1], scr_c[slot, 2]),
-        P=scr_c[slot, 3], theta=scr_c[slot, 4],
-        tau_c=tuple(scr_c[slot, 5 + j] for j in range(6)),
-        tau_e=tuple(scr_c[slot, 11 + j] for j in range(3)),
-        eta=scr_c[slot, 14], lam=scr_c[slot, 15],
-        lam_e=tuple(scr_c[slot, 16 + j] for j in range(3)),
+        V=(scr_c[0], scr_c[1], scr_c[2]),
+        P=scr_c[3], theta=scr_c[4],
+        tau_c=tuple(scr_c[5 + jj] for jj in range(6)),
+        tau_e=tuple(scr_c[11 + jj] for jj in range(3)),
+        eta=scr_c[14], lam=scr_c[15],
+        lam_e=tuple(scr_c[16 + jj] for jj in range(3)),
     )
 
     def body(_, c):
@@ -259,19 +276,22 @@ def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
             r=r, theta_dtau=theta_dtau, etadtau=etadtau,
             lambda_relaxation=rel_lam, viscosity_relaxation=rel_visc,
             viscosity_cutoff=(cut_lo, cut_hi),
-            shift="roll", x_off=start,
+            shift="roll", x_off=x0, y_off=y0,
         )
 
     out = lax.fori_loop(0, k_act, body, carry)
     flat = (*out.V, out.P, out.theta, *out.tau_c, *out.tau_e, out.eta,
             out.lam, *out.lam_e)
 
-    off = i * R - start  # ∈ {0, H, 2H}; predicated static-slice stores
-    for o_val in (0, H, 2 * H):
-        @pl.when(off == o_val)
-        def _(flat=flat, o_val=o_val):
-            for j in range(_N_CARRY):
-                out_ref[j] = flat[j][o_val:o_val + R]
+    offx = i * R - x0   # ∈ {0, H, 2H}
+    offy = j * Ry - y0  # ∈ {0, H, 2H} (0 when nby == 1)
+    oys = (0,) if nby == 1 else (0, H, 2 * H)
+    for ox in (0, H, 2 * H):
+        for oy in oys:
+            @pl.when((offx == ox) & (offy == oy))
+            def _(flat=flat, ox=ox, oy=oy):
+                for jj in range(_N_CARRY):
+                    out_ref[jj] = flat[jj][ox:ox + R, oy:oy + Ry]
 
 
 def stokes3d_vep_chunk_blocked(
@@ -286,11 +306,11 @@ def stokes3d_vep_chunk_blocked(
     interpret: bool = False,
     plane_block: Optional[int] = None,
     iters_per_pass: Optional[int] = None,
-    pipeline: bool = False,
-    spill: int = 110,
+    y_block: Optional[int] = None,
+    nvals: int = 190,
 ) -> VEP3DCanvasCarry:
-    """Advance ``nout`` fused canvas VEP iterations via blocked x-slab
-    streaming. Same contract as
+    """Advance ``nout`` fused canvas VEP iterations via 2D-blocked (x, y)
+    window streaming. Same contract as
     :func:`justrelax_tpu.ops.stokes3d_vep_canvas.vep3d_chunk_canvas`;
     ``co`` must be built with ``scalar_plastic=True, hoist_tau_o=False``.
     ``nout`` may be traced."""
@@ -299,26 +319,28 @@ def stokes3d_vep_chunk_blocked(
     dtype = c.P.dtype
     itemsize = jnp.dtype(dtype).itemsize
 
-    const_arrays, names, pp_scalars = _flatten_vep_consts(co)
+    const_arrays, names, extra_scalars, snames, pp_scalars = (
+        _flatten_vep_consts(co))
     blocking = choose_blocking_vep3d(
         nx, ny, nz, len(const_arrays), itemsize, plane_block, iters_per_pass,
-        n_slots=2 if pipeline else 1, spill=spill,
+        nvals=nvals, y_block=y_block,
     )
     if blocking is None:
         raise ValueError(
             f"no blocked VEP 3D configuration fits VMEM for {nx}x{ny}x{nz}"
         )
-    R, k, n_blocks, X_pad, W = blocking
+    R, Ry, k, nbx, nby, X_pad, Y_pad, W, Wy = blocking
     H = 3 * k
-    offs = {
-        b * R - min(max(b * R - H, 0), X_pad - W) for b in range(n_blocks)
-    }
-    assert offs <= {0, H, 2 * H}, (blocking, offs)
-    y_pad = -(Y // -8) * 8
+    for b in range(nbx):
+        assert b * R - min(max(b * R - H, 0), X_pad - W) in (0, H, 2 * H)
+    if nby > 1:
+        for b in range(nby):
+            assert b * Ry - min(max(b * Ry - H, 0), Y_pad - Wy) \
+                in (0, H, 2 * H)
     z_pad = -(Z // -128) * 128
 
     def pad3(A):
-        return jnp.pad(A, ((0, X_pad - X), (0, y_pad - Y), (0, z_pad - Z)))
+        return jnp.pad(A, ((0, X_pad - X), (0, Y_pad - Y), (0, z_pad - Z)))
 
     flat = (*c.V, c.P, c.theta, *c.tau_c, *c.tau_e, c.eta, c.lam, *c.lam_e)
     carry0 = jnp.stack([pad3(a) for a in flat])
@@ -328,39 +350,39 @@ def stokes3d_vep_chunk_blocked(
             *inv_di, dt, r, theta_dtau, etadtau,
             lambda_relaxation, viscosity_relaxation,
             viscosity_cutoff[0], viscosity_cutoff[1], *pp_scalars,
+            *extra_scalars,
         )
     ])
 
-    n_slots = 2 if pipeline else 1
     kern = partial(
-        _blocked_kernel, nx=nx, ny=ny, nz=nz, R=R, H=H, W=W, X_pad=X_pad,
-        n_blocks=n_blocks, n_slots=n_slots, pipeline=pipeline,
-        names=names, visc_m=co.visc_m,
+        _blocked_kernel, nx=nx, ny=ny, nz=nz, R=R, Ry=Ry, H=H, W=W, Wy=Wy,
+        X_pad=X_pad, Y_pad=Y_pad, nbx=nbx, nby=nby,
+        names=names, snames=snames, visc_m=co.visc_m,
     )
     call = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_blocks,),
+            grid=(nbx, nby),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (_N_CARRY, R, y_pad, z_pad), lambda i, *_: (0, i, 0, 0)
+                (_N_CARRY, R, Ry, z_pad), lambda i, j, *_: (0, i, j, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((n_slots, _N_CARRY, W, y_pad, z_pad), dtype),
-                pltpu.VMEM((n_slots, len(const_arrays), W, y_pad, z_pad),
-                           dtype),
-                pltpu.SemaphoreType.DMA((n_slots,)),
-                pltpu.SemaphoreType.DMA((n_slots,)),
+                pltpu.VMEM((_N_CARRY, W, Wy, z_pad), dtype),
+                pltpu.VMEM((len(const_arrays), W, Wy, z_pad), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((_N_CARRY, X_pad, y_pad, z_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct((_N_CARRY, X_pad, Y_pad, z_pad),
+                                       dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )

@@ -124,16 +124,17 @@ def _ghost_refresh(A, ax, n, sm1, sp1, off=0):
     return jnp.where(lo, sm1(A, ax), jnp.where(hi, sp1(A, ax), A))
 
 
-def canvas_moves(ni, shift="slice", x_off=0) -> StaggeredMoves:
+def canvas_moves(ni, shift="slice", x_off=0, y_off=0) -> StaggeredMoves:
     """Canvas-collocated clamped staggered moves (≙ serial_moves, but every
     array is an (nx+2, ny+2, nz+2) canvas; proven equal in
-    tests/test_vep3d_canvas.py). ``x_off`` maps local canvas rows to global
-    rows along axis 0 for windowed (Pallas x-slab) execution."""
+    tests/test_vep3d_canvas.py). ``x_off``/``y_off`` map local canvas rows
+    to global rows along axes 0/1 for windowed (Pallas-blocked) execution."""
     n_ax = ni
     _sm1, _sp1 = shift_fns(shift)
+    _offs = (x_off, y_off, 0)
 
     def off(ax):
-        return x_off if ax == 0 else 0
+        return _offs[ax]
 
     def center_to_edge(A, a, b):
         out = A
@@ -181,13 +182,14 @@ def canvas_moves(ni, shift="slice", x_off=0) -> StaggeredMoves:
     )
 
 
-def _maxloc_canvas(A, ni, sm1, sp1, x_off=0):
+def _maxloc_canvas(A, ni, sm1, sp1, x_off=0, y_off=0):
     """maxloc(window=1) with clamped boundaries on a center canvas
     (ops/stencil.py::maxloc semantics: separable per-axis 3-point max with
     edge clamping ≡ ghost replication)."""
     B = A
+    offs = (x_off, y_off, 0)
     for ax in range(3):
-        B = _ghost_refresh(B, ax, ni[ax], sm1, sp1, x_off if ax == 0 else 0)
+        B = _ghost_refresh(B, ax, ni[ax], sm1, sp1, offs[ax])
         B = jnp.maximum(B, jnp.maximum(sm1(B, ax), sp1(B, ax)))
     return B
 
@@ -231,7 +233,8 @@ class VEP3DCanvasCarry(NamedTuple):
 def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
                         phase_ratios_center, phase_ratios_edges,
                         T=None, visc_m="auto", hoist_tau_o=True,
-                        scalar_plastic=False) -> VEP3DCanvasConsts:
+                        scalar_plastic=False,
+                        scalar_K=False) -> VEP3DCanvasConsts:
     """Build the loop-invariant canvases (one-time cost per solve).
 
     ``visc_m`` is the shared power-law exponent minus one of the creep
@@ -245,7 +248,9 @@ def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
     18 canvases of DMA are not). ``scalar_plastic=True`` collapses the
     plastic-parameter blends to 0-d scalars via a one-hot evaluation —
     exact only when plasticity is phase-uniform with softening off
-    (``pallas_stokes3d_vep_blocked.vep3d_blocked_supported`` guards it)."""
+    (``pallas_stokes3d_vep_blocked.vep3d_blocked_supported`` guards it).
+    ``scalar_K=True`` likewise collapses the bulk-modulus blends (guard:
+    Kb phase-uniform) — 4 fewer canvases of kernel DMA and VMEM."""
     from justrelax_tpu.ops.stokes3d_vep import VEPParams3D
     from justrelax_tpu.rheology.materials import (
         get_bulk_modulus,
@@ -278,8 +283,13 @@ def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
         ppc = pp_s
     else:
         ppc = plastic_params_phase(material, EII_c, pr_cc)
+    if scalar_K:
+        # one-hot collapse (guard: Kb phase-uniform)
+        nph = _as_stack(material).params.eta0.shape[0]
+        oh = jnp.zeros((1, nph)).at[0, 0].set(1.0)
+        K_scalar = get_bulk_modulus(material, oh)[0]
     G_c = get_shear_modulus(material, pr_cc)
-    K_c = get_bulk_modulus(material, pr_cc)
+    K_c = K_scalar if scalar_K else get_bulk_modulus(material, pr_cc)
     tau_oc_canvas = tuple(embed_center(t) for t in tau_o_c6)
     tau_oe_canvas = tuple(embed_edge(t, k) for k, t in enumerate(tau_o_e3))
     names3 = ("yz", "xz", "xy")
@@ -291,7 +301,8 @@ def vep3d_canvas_consts(material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
             EII_e = moves.center_to_edge(EII_c, a, b)
             ppe.append(plastic_params_phase(material, EII_e, pr_ec[k]))
         G_e.append(get_shear_modulus(material, pr_ec[k]))
-        K_e.append(get_bulk_modulus(material, pr_ec[k]))
+        K_e.append(K_scalar if scalar_K
+                   else get_bulk_modulus(material, pr_ec[k]))
         if not hoist_tau_o:
             continue
         # τ_o edge interpolants are solve-frozen — hoisted like the blends
@@ -388,16 +399,18 @@ def iteration_vep3d_canvas(
     viscosity_cutoff=(-jnp.inf, jnp.inf),
     shift="slice",
     x_off=0,
+    y_off=0,
 ):
     """One fused 3D VEP PT iteration on collocated canvases — semantics of
     solvers/stokes3d_vep.py::one_iteration (maxloc → θ update → ρ(T,P)·g →
     strain rate → fused center+edges return mapping → τII viscosity
-    continuation → damped velocity update + free-slip BCs). ``x_off`` maps
-    local canvas rows to global rows for windowed (Pallas x-slab) execution;
-    ``shift="roll"`` is the Mosaic-compatible lowering."""
+    continuation → damped velocity update + free-slip BCs). ``x_off``/
+    ``y_off`` map local canvas rows to global rows for windowed
+    (Pallas-blocked) execution; ``shift="roll"`` is the Mosaic-compatible
+    lowering."""
     ni = (nx, ny, nz)
     _sm1, _sp1 = shift_fns(shift)
-    moves = canvas_moves(ni, shift=shift, x_off=x_off)
+    moves = canvas_moves(ni, shift=shift, x_off=x_off, y_off=y_off)
     Vx, Vy, Vz = c.V
     inv_dx, inv_dy, inv_dz = inv_di
     shape = c.P.shape
@@ -407,7 +420,7 @@ def iteration_vep3d_canvas(
         return _band(shape, 0, lo, hi, offset=x_off)
 
     def yb(lo, hi):
-        return _band(shape, 1, lo, hi)
+        return _band(shape, 1, lo, hi, offset=y_off)
 
     def zb(lo, hi):
         return _band(shape, 2, lo, hi)
@@ -425,7 +438,7 @@ def iteration_vep3d_canvas(
     MVz = xb(1, nx) & yb(1, ny) & zb(1, nz - 1)
 
     # 1. maxloc preconditioner + divergence + compressible θ iterate
-    eta_tau = _maxloc_canvas(c.eta, ni, _sm1, _sp1, x_off)
+    eta_tau = _maxloc_canvas(c.eta, ni, _sm1, _sp1, x_off, y_off)
     dVxdx = (Vx - _sp1(Vx, 0)) * inv_dx
     dVydy = (Vy - _sp1(Vy, 1)) * inv_dy
     dVzdz = (Vz - _sp1(Vz, 2)) * inv_dz

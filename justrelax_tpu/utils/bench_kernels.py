@@ -1103,7 +1103,7 @@ def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False,
     co = vep3d_canvas_consts(
         material, (txx_o, -txx_o, Z, Z, Z, Z), (tyz, txz, txy), Z, Z, Z,
         pr.center, (pr.edge_yz, pr.edge_xz, pr.edge_xy),
-        hoist_tau_o=not blocked, scalar_plastic=blocked,
+        hoist_tau_o=not blocked, scalar_plastic=blocked, scalar_K=blocked,
     )
     co = jax.tree.map(
         lambda x: x.astype(dtype)

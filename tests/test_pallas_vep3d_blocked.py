@@ -116,7 +116,7 @@ def test_blocked_matches_canvas_chunk(plastic, nit):
     want = vep3d_chunk_canvas(carry, co_ref, material, inv_di, nit, **kw)
 
     co_blk = vep3d_canvas_consts(**ckw, hoist_tau_o=False,
-                                 scalar_plastic=True)
+                                 scalar_plastic=True, scalar_K=True)
     got = stokes3d_vep_chunk_blocked(
         carry, co_blk, inv_di, nit, interpret=True,
         plane_block=4, iters_per_pass=1, **kw,
@@ -126,6 +126,23 @@ def test_blocked_matches_canvas_chunk(plastic, nit):
                                    rtol=0, atol=_ATOL[plastic])
     if plastic and nit == 5:
         assert float(jnp.max(want.lam)) > 0.0  # plastic branch exercised
+
+
+def test_blocked_xy_matches_canvas_chunk():
+    """2D-blocked (x AND y windows) == canvas chunk — exercises the y_off
+    band offsets and the 3x3 predicated store grid."""
+    material, carry, ckw, inv_di, kw = _setup(n=14, plastic=True)
+    co_ref = vep3d_canvas_consts(**ckw)
+    want = vep3d_chunk_canvas(carry, co_ref, material, inv_di, 3, **kw)
+    co_blk = vep3d_canvas_consts(**ckw, hoist_tau_o=False,
+                                 scalar_plastic=True, scalar_K=True)
+    got = stokes3d_vep_chunk_blocked(
+        carry, co_blk, inv_di, 3, interpret=True,
+        plane_block=6, y_block=6, iters_per_pass=1, **kw,
+    )
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=_ATOL[True])
 
 
 def test_blocked_k2_matches_canvas_chunk():
