@@ -62,8 +62,9 @@ _N_CARRY = 19  # Vx Vy Vz P theta tau_c(6) tau_e(3) eta lam lam_e(3)
 # plastic scalar order in the SMEM stack (PlasticParams fields)
 _PP_FIELDS = ("is_pl", "pl_frac", "C_cosphi", "sinphi", "cosphi", "sinpsi",
               "eta_reg", "pT", "dq_shear")
-# fixed leading scalars before the plastic block
-_N_LEAD_SCALARS = 10  # inv_di(3) dt r theta_dtau etadtau rel_lam rel_visc… see below
+# fixed leading scalars before the plastic block:
+# inv_di(3) dt r theta_dtau etadtau rel_lam rel_visc cut_lo cut_hi
+_N_LEAD_SCALARS = 11
 
 
 def vep3d_blocked_supported(material) -> bool:
@@ -226,7 +227,7 @@ def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
                                   scal_ref[6])
     rel_lam, rel_visc = scal_ref[7], scal_ref[8]
     cut_lo, cut_hi = scal_ref[9], scal_ref[10]
-    n_lead = 11
+    n_lead = _N_LEAD_SCALARS
     pp = PlasticParams(*(
         scal_ref[n_lead + jj] > 0.5 if f == "is_pl" else scal_ref[n_lead + jj]
         for jj, f in enumerate(_PP_FIELDS)

@@ -79,6 +79,18 @@ def solve_ve_3d(
             and _static_all_inf(G) and _static_all_inf(K)
             and _static_all_inf(dt)
         )
+    elif pallas_lean:
+        # Explicit opt-in still requires the viscous-incompressible limit:
+        # the lean chunk re-derives coefficients assuming G=K=dt=inf, so
+        # running it on finite moduli would silently compute the wrong
+        # physics (ADVICE r04).
+        if not (_static_all_inf(G) and _static_all_inf(K)
+                and _static_all_inf(dt)):
+            raise ValueError(
+                "pallas_lean=True requires statically infinite G, K and dt "
+                "(viscous incompressible limit); got finite/traced moduli. "
+                "Use pallas_lean=None for auto-detection."
+            )
     if pallas_lean:
         lean_f = tuple(not _static_all_zero(f) for f in rho_g)
     return _solve_ve_3d(

@@ -1023,8 +1023,8 @@ def vep2d_1024(dtype=jnp.float32):
 
 
 def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False,
-                 plane_block=None, iters_per_pass=None, pipeline=False,
-                 spill=110):
+                 plane_block=None, iters_per_pass=None, y_block=None,
+                 nvals=None):
     """Collocated-canvas 3D VEP iteration (ops/stokes3d_vep_canvas.py) —
     same physics config and 71·N·4 B traffic convention as ``vep3d`` so the
     rows are directly comparable. The return-mapping body is the SAME
@@ -1120,11 +1120,14 @@ def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False,
             stokes3d_vep_chunk_blocked,
         )
 
+        bkw = dict(plane_block=plane_block, iters_per_pass=iters_per_pass,
+                   y_block=y_block)
+        if nvals is not None:
+            bkw["nvals"] = nvals
+
         def step(n_iter, carry, consts):
             return stokes3d_vep_chunk_blocked(
-                carry, consts, inv_di, n_iter,
-                plane_block=plane_block, iters_per_pass=iters_per_pass,
-                pipeline=pipeline, spill=spill, **kw,
+                carry, consts, inv_di, n_iter, **bkw, **kw,
             )
     else:
         def step(n_iter, carry, consts):
