@@ -110,27 +110,50 @@ def bench_family(name, factory_kwargs=None, repeats=3, preflight=None):
 
     _time_once(fn, 10, carry, consts)  # warmup
 
-    # calibrate iteration time, then size the slope signal to ~0.6 s
+    # calibrate iteration time, then size the slope signal to ~0.6 s.
+    # Plausibility loop (VERDICT r04 #2a: the pallas_ve2d row shipped a
+    # collapsed slope -> 9.3e9 GB/s): if the measured slope signal
+    # (min(t2)-min(t1)) came out under 0.3 s — i.e. inside the tunnel's
+    # 10-100 ms per-call jitter — the calibration was wrong; grow dn and
+    # re-measure rather than shipping an absurd number.
     t_a = min(_time_once(fn, 10, carry, consts) for _ in range(2))
     t_b = _time_once(fn, 510, carry, consts)
     t_est = max((t_b - t_a) / 500.0, 1e-7)
-    dn = int(min(max(0.6 / t_est, 300), 100_000))
-    n1, n2 = 100, 100 + dn
+    dn = int(min(max(0.6 / t_est, 300), 2_000_000))
 
-    t1s, t2s = [], []
-    for _ in range(repeats):
-        t1s.append(_time_once(fn, n1, carry, consts))
-        t2s.append(_time_once(fn, n2, carry, consts))
-    t_iter = max((min(t2s) - min(t1s)) / dn, 1e-12)
+    for _attempt in range(4):
+        n1, n2 = 100, 100 + dn
+        t1s, t2s = [], []
+        for _ in range(repeats):
+            t1s.append(_time_once(fn, n1, carry, consts))
+            t2s.append(_time_once(fn, n2, carry, consts))
+        signal = min(t2s) - min(t1s)
+        if signal >= 0.3 or dn >= 2_000_000:
+            break
+        dn = int(min(max(dn * max(0.6 / max(signal, 1e-3), 2.0), dn * 2),
+                     2_000_000))
+
+    t_iters = sorted(max((b - a) / dn, 1e-12) for a, b in zip(t1s, t2s))
+    t_iter = max(signal / dn, 1e-12)  # min-over-repeats slope (noise floor)
+    t_med = t_iters[len(t_iters) // 2]
     t_eff = bytes_per_iter / t_iter / 1e9
     gups = n_cells / t_iter / 1e9
     row = {
         "T_eff_GBs": round(t_eff, 2),
         "GUPS": round(gups, 3),
         "t_iter_us": round(t_iter * 1e6, 3),
+        # spread record (VERDICT r04 #2b): per-repeat slopes + median, so a
+        # 2% "win" inside the run-to-run band is visibly not a decision
+        "t_iter_us_median": round(t_med * 1e6, 3),
+        "t_iter_us_repeats": [round(t * 1e6, 3) for t in t_iters],
+        "slope_signal_s": round(signal, 3),
+        "dn": dn,
         "n_cells": n_cells,
         "vs_hbm_peak": round(t_eff / HBM_PEAK, 4),
     }
+    if signal < 0.3:
+        row["suspect"] = ("slope signal %.3f s below 0.3 s target at dn cap;"
+                          " t_iter unreliable" % signal)
     if not name.startswith("pallas_"):
         # measured roofline fraction at ACTUAL traffic (carry 2x + consts
         # 1x, zero HBM temps): ~1.0 proves the XLA path is memory-bound at
@@ -138,11 +161,77 @@ def bench_family(name, factory_kwargs=None, repeats=3, preflight=None):
         # the Pallas chunk/blocked paths remove), not kernel inefficiency
         try:
             sb = bk.stream_bytes_per_iter(name, factory_kwargs)
+            frac = sb / t_iter / 1e9 / HBM_PEAK
             row["stream_GBs"] = round(sb / t_iter / 1e9, 2)
-            row["stream_frac_peak"] = round(sb / t_iter / 1e9 / HBM_PEAK, 4)
+            row["stream_frac_peak"] = round(frac, 4)
+            if frac > 1.02:
+                # VERDICT r04 #8: the carry x2 + consts x1 byte model assumes
+                # every iteration round-trips HBM; when XLA keeps the fori
+                # carry VMEM-resident (sub-residency grids) the model
+                # overcounts and the fraction exceeds 1 — NOT a roofline
+                # proof for this row.
+                row["stream_frac_note"] = (
+                    "frac>1: carry is VMEM-resident across iterations; byte "
+                    "model overcounts — roofline claim invalid at this size")
         except Exception:
             pass
     return row
+
+
+def paired_ab(name_a, name_b, repeats=5, kwargs_a=None, kwargs_b=None,
+              target_s=0.5):
+    """Same-process alternating A/B (VERDICT r04 #2c): compile both paths,
+    then interleave slope measurements A,B,A,B,... so drift/jitter hits both
+    equally. Returns per-repeat t_iter for each and a decision that only
+    calls a winner when the median gap exceeds the half-range spread of
+    BOTH paths — a 2% 'win' inside +-4% noise is reported as a tie."""
+    from justrelax_tpu.utils import bench_kernels as bk
+
+    paths = {}
+    for key, name, kw in (("a", name_a, kwargs_a), ("b", name_b, kwargs_b)):
+        step, carry, consts, bpi, n_cells = bk.FAMILIES[name](**(kw or {}))
+        fn = jax.jit(step).lower(
+            jnp.asarray(10, jnp.int32), carry, consts).compile()
+        _time_once(fn, 10, carry, consts)  # warmup
+        t_a = min(_time_once(fn, 10, carry, consts) for _ in range(2))
+        t_b = _time_once(fn, 510, carry, consts)
+        t_est = max((t_b - t_a) / 500.0, 1e-7)
+        dn = int(min(max(target_s / t_est, 300), 2_000_000))
+        paths[key] = dict(name=name, fn=fn, carry=carry, consts=consts,
+                          bpi=bpi, dn=dn, slopes=[])
+
+    for _ in range(repeats):
+        for key in ("a", "b"):
+            p = paths[key]
+            t1 = _time_once(p["fn"], 100, p["carry"], p["consts"])
+            t2 = _time_once(p["fn"], 100 + p["dn"], p["carry"], p["consts"])
+            p["slopes"].append(max((t2 - t1) / p["dn"], 1e-12))
+
+    out = {}
+    stats = {}
+    for key in ("a", "b"):
+        p = paths[key]
+        ts = sorted(p["slopes"])
+        med = ts[len(ts) // 2]
+        half_range = (ts[-1] - ts[0]) / 2.0
+        stats[key] = (med, half_range)
+        out[p["name"]] = {
+            "T_eff_GBs_median": round(p["bpi"] / med / 1e9, 2),
+            "T_eff_GBs_best": round(p["bpi"] / ts[0] / 1e9, 2),
+            "t_iter_us_repeats": [round(t * 1e6, 2) for t in p["slopes"]],
+            "dn": p["dn"],
+        }
+    (med_a, hr_a), (med_b, hr_b) = stats["a"], stats["b"]
+    gap = med_a - med_b  # >0: b (blocked) faster
+    noise = max(hr_a, hr_b)
+    if abs(gap) <= noise:
+        decision = "tie"
+    else:
+        decision = name_b if gap > 0 else name_a
+    out["decision"] = decision
+    out["median_gap_us"] = round(gap * 1e6, 3)
+    out["noise_half_range_us"] = round(noise * 1e6, 3)
+    return out
 
 
 def _golden_items(level):
@@ -270,6 +359,8 @@ DEFAULT_FAMILIES = (
     "ve2d,vep2d,vep2d_1024,thermal2d,thermal3d,ve3d,ve3d_canvas,vep3d,"
     "vep3d_canvas,"
     "pallas_ve2d,pallas_ve2d_blocked,pallas_ve3d_blocked,"
+    "pallas_vep3d_blocked,"
+    "ve3d_254,ve3d_canvas_254,pallas_ve3d_blocked_254,"
     "pallas_vep2d,pallas_vep2d_blocked,pallas_thermal2d"
 )
 
@@ -301,6 +392,19 @@ def main():
         if fam in preflight:
             _progress("pallas_preflight", fam, preflight[fam])
 
+    # paired same-process A/B for the 2D VEP production dispatch (VERDICT
+    # r04 #2c): the blocked-vs-XLA decision must survive its own error bars
+    ab = None
+    if "vep2d_1024" in families and "pallas_vep2d_blocked" in families:
+        try:
+            ab = paired_ab("vep2d_1024", "pallas_vep2d_blocked",
+                           repeats=int(os.environ.get("BENCH_AB_REPEATS",
+                                                      "5")))
+        except Exception as exc:
+            traceback.print_exc(file=sys.stderr)
+            ab = {"error": _err_tail(exc)}
+        _progress("vep2d_dispatch_ab", "vep2d_1024_vs_blocked", ab)
+
     ok_rows = {k: v for k, v in results.items() if "T_eff_GBs" in v}
 
     # Headline = the flagship iteration AT PRODUCTION GRID SIZE (1024² f32,
@@ -325,6 +429,7 @@ def main():
         "best_effective": (
             {"family": best, **results[best]} if best else None
         ),
+        "vep2d_dispatch_ab": ab,
         "families": results,
         "pallas_preflight": preflight,
         "tpu_goldens": goldens,

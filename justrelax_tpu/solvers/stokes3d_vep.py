@@ -126,6 +126,29 @@ def solve_vep_3d(
     unlike the memory-bound VE where the canvas wins. ``use_pallas=True``
     is therefore an opt-in uniform-layout route (parity 1e-8,
     tests/test_vep3d_canvas.py), not a fast path; the default stays XLA."""
+    if use_pallas == "blocked":
+        # grid-blocked Pallas streaming kernel
+        # (ops/pallas_stokes3d_vep_blocked.py): scalar plastic params +
+        # scalar K under the phase-uniform guard, τ_o re-derived in VMEM
+        import numpy as _np
+
+        from justrelax_tpu.ops.pallas_stokes3d_vep_blocked import (
+            vep3d_blocked_supported,
+        )
+        from justrelax_tpu.rheology.materials import _as_stack
+
+        if not vep3d_blocked_supported(material):
+            raise ValueError(
+                "use_pallas='blocked' requires phase-uniform plasticity "
+                "with strain softening off "
+                "(pallas_stokes3d_vep_blocked.vep3d_blocked_supported)"
+            )
+        Kb = _np.asarray(_as_stack(material).params.Kb)
+        if not bool(_np.all(Kb == Kb.ravel()[0])):
+            raise ValueError(
+                "use_pallas='blocked' requires a phase-uniform bulk "
+                "modulus Kb (scalar-K consts collapse)"
+            )
     if use_pallas and pallas_visc_m == "auto":
         import numpy as _np
 
@@ -403,11 +426,18 @@ def _solve_vep_3d(
             vep3d_chunk_canvas,
         )
 
+        blocked = use_pallas == "blocked"
         co_canvas = vep3d_canvas_consts(
             material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
             phase_ratios_center, phase_ratios_edges, T=T,
             visc_m=pallas_visc_m,
+            hoist_tau_o=not blocked, scalar_plastic=blocked,
+            scalar_K=blocked,
         )
+        if blocked:
+            from justrelax_tpu.ops.pallas_stokes3d_vep_blocked import (
+                stokes3d_vep_chunk_blocked,
+            )
 
     def one_iteration_core(i, t):
         # reduced fori carry — diagnostics are write-only per iteration
@@ -423,13 +453,23 @@ def _solve_vep_3d(
             # tests/test_vep3d_canvas.py), then one full serial iteration
             # for the diagnostics — the lean-carry pattern
             packed = pack_vep_carry(*(getattr(c, k) for k in _CORE))
-            out = vep3d_chunk_canvas(
-                packed, co_canvas, material, inv_di, nout_i - 1,
-                dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
-                lambda_relaxation=lambda_relaxation,
-                viscosity_relaxation=viscosity_relaxation,
-                viscosity_cutoff=viscosity_cutoff,
-            )
+            if blocked:
+                out = stokes3d_vep_chunk_blocked(
+                    packed, co_canvas, inv_di, nout_i - 1,
+                    dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
+                    lambda_relaxation=lambda_relaxation,
+                    viscosity_relaxation=viscosity_relaxation,
+                    viscosity_cutoff=viscosity_cutoff,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                out = vep3d_chunk_canvas(
+                    packed, co_canvas, material, inv_di, nout_i - 1,
+                    dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
+                    lambda_relaxation=lambda_relaxation,
+                    viscosity_relaxation=viscosity_relaxation,
+                    viscosity_cutoff=viscosity_cutoff,
+                )
             t = unpack_vep_carry(out)
         else:
             t = lax.fori_loop(

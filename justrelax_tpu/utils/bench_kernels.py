@@ -1143,6 +1143,26 @@ def pallas_vep3d_blocked(**kw):
     return vep3d_canvas(blocked=True, **kw)
 
 
+def ve3d_254(dtype=jnp.float32):
+    """Past-VMEM-residency 3D VE (VERDICT r04 #3): 254³ = 16.4M cells, the
+    regime the reference's weak-scaling claim lives in
+    (docs/paper/paper.md:78-80). XLA slice/pad path; X = 256 keeps the
+    canvas lane dimension tile-aligned."""
+    return ve3d(n=254, dtype=dtype)
+
+
+def ve3d_canvas_254(dtype=jnp.float32):
+    """254³ collocated-canvas VE (lean consts — the 126³ winner)."""
+    return ve3d_canvas(n=254, dtype=dtype, lean=True)
+
+
+def pallas_ve3d_blocked_254(dtype=jnp.float32):
+    """254³ blocked x-slab streaming VE — the only path whose VMEM working
+    set is independent of nz·ny residency, so past-residency it is the
+    designed winner."""
+    return pallas_ve3d_blocked(n=254, dtype=dtype)
+
+
 FAMILIES = {
     "ve2d": ve2d,
     "vep2d": vep2d,
@@ -1153,6 +1173,9 @@ FAMILIES = {
     "ve3d_canvas": ve3d_canvas,
     "vep3d": vep3d,
     "vep3d_canvas": vep3d_canvas,
+    "ve3d_254": ve3d_254,
+    "ve3d_canvas_254": ve3d_canvas_254,
+    "pallas_ve3d_blocked_254": pallas_ve3d_blocked_254,
     "pallas_ve2d": pallas_ve2d,
     "pallas_vep3d_blocked": pallas_vep3d_blocked,
     "pallas_ve2d_blocked": pallas_ve2d_blocked,

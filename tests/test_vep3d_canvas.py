@@ -275,3 +275,12 @@ def test_solve_vep_3d_use_pallas_matches_xla():
     assert float(jnp.abs(out_c.tau.II - out_x.tau.II).max()) < 1e-8 * scale
     assert float(jnp.abs(out_c.P - out_x.P).max()) < 1e-8 * scale
     assert float(jnp.max(out_x.EII_pl)) > 0.0  # plasticity active
+
+    # use_pallas="blocked": the grid-blocked streaming kernel
+    # (ops/pallas_stokes3d_vep_blocked.py, interpret mode on CPU) through
+    # the same solver entry — scalar-plastic/scalar-K consts + in-VMEM
+    # tau_o re-derivation must reproduce the XLA solve at roundoff
+    out_b, info_b = solve_vep_3d(*args, use_pallas="blocked", **kw)
+    assert float(info_b.err) < 1.0e-5
+    assert float(jnp.abs(out_b.tau.II - out_x.tau.II).max()) < 1e-8 * scale
+    assert float(jnp.abs(out_b.P - out_x.P).max()) < 1e-8 * scale
