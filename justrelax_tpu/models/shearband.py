@@ -40,7 +40,8 @@ def _circle_phase_ratios(xs, ys, origin, radius):
 
 
 def run(n=32, nt=10, eps_bg=1.0, dtype=None, displacement_driven=False,
-        dilation_angle=0.0, use_pallas=False, dqdtau_alt=0.0):
+        dilation_angle=0.0, use_pallas=False, dqdtau_alt=0.0,
+        visc_plastic_tau=False):
     """``displacement_driven=True`` reproduces the strain-increment variant
     (reference ShearBand2D_strain_increment.jl): the boundary forcing is set
     as a displacement increment U = V·dt under
@@ -127,6 +128,7 @@ def run(n=32, nt=10, eps_bg=1.0, dtype=None, displacement_driven=False,
             iter_max=50_000,
             nout=100,
             use_pallas=use_pallas,
+            visc_plastic_tau=visc_plastic_tau,
         )
         if displacement_driven:
             stokes = velocity2displacement(stokes, dt)

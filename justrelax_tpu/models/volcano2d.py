@@ -41,6 +41,8 @@ from justrelax_tpu.ops.stress_rotation import (
 from justrelax_tpu.particles.marker_chain import (
     advect_marker_chain,
     init_marker_chain,
+    phases_from_marker_chain,
+    update_phases_given_markerchain,
 )
 from justrelax_tpu.particles.particles import (
     advect_rk2,
@@ -259,14 +261,24 @@ def run(nx=16, ny=8, nt=2, dtype=None, seed=0):
         fields = {"phase": p_phase, "T": pT,
                   "txx": p_txx, "tyy": p_tyy, "txy": p_txy}
         particles, fields = move_particles(particles, geometry, fields)
+        chain = advect_marker_chain(chain, V, geometry, dt)
+        # per-particle topography correction against the advected chain
+        # (Caldera2D.jl:194,435): rock particles above the surface / air
+        # particles below it are deactivated, then re-seeded by the
+        # injection below with the phase the chain implies
+        particles, _n_corr = update_phases_given_markerchain(
+            chain, particles, fields["phase"], AIR)
+        above_c = phases_from_marker_chain(chain, geometry, 0, 1).astype(bool)
+        rock_c = np.where(phases_c == AIR, UPPER, phases_c)
+        phases_inject = jnp.where(
+            above_c, float(AIR), jnp.asarray(rock_c, jnp.float64))
         particles, fields = inject_particles(
             particles, geometry,
             fields_from_centers={"T": thermal.T[1:-1, 1:-1]},
-            phases=jnp.asarray(phases_c, jnp.float64), fields=fields,
+            phases=phases_inject, fields=fields,
         )
         p_phase, pT = fields["phase"], fields["T"]
         p_txx, p_tyy, p_txy = fields["txx"], fields["tyy"], fields["txy"]
-        chain = advect_marker_chain(chain, V, geometry, dt)
         pr, phi = ratios_and_phi(particles, p_phase)
 
     return stokes, thermal, particles, chain, phi_m, info

@@ -87,6 +87,18 @@ def run(nx=16, ny=8, nt=2, dtype=None, seed=0, eps=1.0e-4):
     p_phase = jnp.round(
         centroid2particle(jnp.asarray(phases_c, jnp.float64), particles, geometry)
     )
+    # setup-time topography correction (Caldera2D_DYREL.jl:194 — active in
+    # the reference's DYREL variant; the in-loop call at :412 is commented
+    # out there, matching this loop): interpolation-smeared phases around
+    # the initial surface are reconciled with the chain before the solve
+    from justrelax_tpu.particles.marker_chain import (
+        init_marker_chain,
+        update_phases_given_markerchain,
+    )
+
+    chain0 = init_marker_chain(geometry, 0.0)
+    particles, _ = update_phases_given_markerchain(
+        chain0, particles, p_phase, AIR)
     pT = centroid2particle(jnp.asarray(T_c0), particles, geometry)
     p_txx = jnp.zeros_like(particles.px)
     p_tyy = jnp.zeros_like(particles.px)

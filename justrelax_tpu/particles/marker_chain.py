@@ -24,6 +24,7 @@ __all__ = [
     "init_marker_chain",
     "advect_marker_chain",
     "phases_from_marker_chain",
+    "update_phases_given_markerchain",
 ]
 
 
@@ -72,6 +73,31 @@ def advect_marker_chain(
     oy, ly = geometry.origin[1], geometry.li[1]
     h = jnp.clip(h, oy, oy + ly)
     return MarkerChain(x=chain.x, y=h)
+
+
+def update_phases_given_markerchain(
+    chain: MarkerChain, particles, p_phase: Array, air_phase: int
+):
+    """Per-particle topography correction against the chain, run every step
+    of the coupled loop (reference Caldera2D.jl:194,435 →
+    src/phases/topography_correction.jl:36-90): a particle ABOVE the chain
+    carrying a rock phase, or an AIR particle BELOW the chain, is
+    inconsistent with the tracked surface. The reference deactivates such
+    particles (NaNs coords + clears the index; its per-particle
+    phase-reassignment lines are commented out) and lets the injection pass
+    re-seed the emptied slots with the corrected phase — this does the
+    same: returns ``particles`` with offenders deactivated, so the coupled
+    loop's ``inject_particles(..., phases=corrected_field)`` refill gives
+    them the phase the chain implies.
+
+    ``p_phase`` is the per-particle phase carrier (float, rounded ints).
+    Returns ``(particles, n_corrected)``.
+    """
+    h = jnp.interp(particles.px, chain.x, chain.y)
+    above = particles.py > h
+    is_air = jnp.round(p_phase) == air_phase
+    bad = particles.active & ((above & ~is_air) | (~above & is_air))
+    return particles.replace(active=particles.active & ~bad), jnp.sum(bad)
 
 
 def phases_from_marker_chain(

@@ -334,12 +334,24 @@ def inject_particles(
             new_fields[k] = jnp.where(to_fill, interp, v)
         elif k == phase_field:
             # dominant phase among surviving particles of the cell
+            # (JustPIC inject_particles_phase! seeds from nearby particle
+            # phases); a cell with NO survivors — e.g. fully emptied by the
+            # marker-chain topography correction — falls back to the given
+            # ``phases`` cell field instead of silently taking phase 0
             w = jnp.where(particles.active, 1.0, 0.0)
-            nphase = int(jnp.max(v).item()) + 1 if not isinstance(phases, int) else phases
+            if isinstance(phases, int):
+                nphase = phases
+            else:
+                ref = v if phases is None else phases
+                nphase = int(jnp.max(ref).item()) + 1
             counts = jnp.stack(
                 [jnp.sum(w * (v == p), axis=-1) for p in range(nphase)], axis=-1
             )
             dominant = jnp.argmax(counts, axis=-1).astype(v.dtype)
+            if phases is not None and not isinstance(phases, int):
+                dominant = jnp.where(
+                    jnp.sum(w, axis=-1) > 0, dominant, phases.astype(v.dtype)
+                )
             new_fields[k] = jnp.where(to_fill, dominant[..., None], v)
         else:
             new_fields[k] = v

@@ -293,6 +293,7 @@ def compute_viscosity_fields(
     P: Optional[Array] = None,
     P_v: Optional[Array] = None,
     air_phase: Optional[int] = None,
+    plastic_in_tau: bool = False,
 ):
     """Update (η centers, ηv vertices) from the tensor fields.
 
@@ -300,19 +301,47 @@ def compute_viscosity_fields(
     centers uses (xx, yy, xy_c) directly; at vertices (xx_v, yy_v, xy).
     With ``air_phase`` set, the air slot is excluded from the phase blend
     (Viscosity.jl:403-404, used by the variational free-surface solvers).
-    """
+
+    ``plastic_in_tau=True`` (PARITY.md hypothesis #2, tested round 5):
+    composes the regularized plastic element into the τII-mode composite
+    strain rate the way GeoParams' ``compute_viscosity_τII`` would if the
+    DruckerPrager_regularised element contributes its constitutive inverse
+    ε̇_pl(τII) = max(τII − P·sinφ − C·cosφ, 0)/(2·η_reg):
+    η = τII / (2·(ε̇_visc + ε̇_pl)). Requires ``mode="tau"`` and ``P``/
+    ``P_v``."""
     if air_phase is not None:
         phase_ratios_center = correct_phase_ratio(phase_ratios_center, air_phase)
         phase_ratios_vertex = correct_phase_ratio(phase_ratios_vertex, air_phase)
     eps0_c = jnp.where((xx == 0) & (yy == 0) & (xy_c == 0), jnp.finfo(xx.dtype).eps, 0.0)
     II_c = second_invariant(xx + eps0_c, yy - eps0_c, xy_c)
     eta_new = phase_viscosity(material, II_c, T, phase_ratios_center, mode, P=P)
+    if plastic_in_tau:
+        eta_new = _compose_plastic_tau(
+            material, eta_new, II_c, P, phase_ratios_center)
     eta_new = continuation_linear(eta_new, eta, relaxation)
     eta_new = jnp.clip(eta_new, cutoff[0], cutoff[1])
 
     eps0_v = jnp.where((xx_v == 0) & (yy_v == 0) & (xy_v == 0), jnp.finfo(xx.dtype).eps, 0.0)
     II_v = second_invariant(xx_v + eps0_v, yy_v - eps0_v, xy_v)
     eta_v_new = phase_viscosity(material, II_v, T_v, phase_ratios_vertex, mode, P=P_v)
+    if plastic_in_tau:
+        eta_v_new = _compose_plastic_tau(
+            material, eta_v_new, II_v, P_v, phase_ratios_vertex)
     eta_v_new = continuation_linear(eta_v_new, eta_v, relaxation)
     eta_v_new = jnp.clip(eta_v_new, cutoff[0], cutoff[1])
     return eta_new, eta_v_new
+
+
+def _compose_plastic_tau(material, eta_visc, invII, P, phase_ratios):
+    """Series-compose the regularized plastic element into the τII-mode
+    viscosity (PARITY.md hypothesis #2): η = τII/(2(ε̇_visc + ε̇_pl)) with
+    ε̇_pl = max(τII − P·sinφ − C·cosφ, 0)/(2η_reg)."""
+    from justrelax_tpu.rheology.plasticity import plastic_params_phase
+
+    pp = plastic_params_phase(material, jnp.zeros_like(invII), phase_ratios)
+    Pc = jnp.zeros_like(invII) if P is None else P
+    F = invII - Pc * pp.sinphi - pp.C_cosphi
+    eps_pl = jnp.maximum(F, 0.0) / (2.0 * jnp.maximum(pp.eta_reg, 1e-30))
+    denom = invII / jnp.maximum(eta_visc, 1e-30) + 2.0 * eps_pl
+    eta_comp = invII / jnp.maximum(denom, 1e-30)
+    return jnp.where(pp.is_pl & (invII > 0), eta_comp, eta_visc)

@@ -189,6 +189,7 @@ def solve_vep(
         "pallas_has_cap",
         "pallas_visc_m",
         "pallas_blocked",
+        "visc_plastic_tau",
     ),
 )
 def _solve_vep(
@@ -212,6 +213,7 @@ def _solve_vep(
     pallas_has_cap: bool = False,
     pallas_visc_m=None,
     pallas_blocked: bool = False,
+    visc_plastic_tau: bool = False,
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """``use_pallas=True`` runs each chunk's first ``nout-1`` iterations
     inside a Pallas VEP kernel (ops/pallas_stokes_vep.py, 1.7x the XLA
@@ -311,6 +313,13 @@ def _solve_vep(
             material, phase_ratios_center, phase_ratios_vertex,
             lambda_relaxation, dt, theta_dtau,
         )
+        vp_kw = {}
+        if visc_plastic_tau:
+            # PARITY.md hypothesis #2 variant: the regularized plastic
+            # element enters the τII-mode composite; yield needs P
+            from justrelax_tpu.ops.interpolation import center2vertex
+            vp_kw = dict(plastic_in_tau=True, P=res.P_corrected,
+                         P_v=center2vertex(res.P_corrected))
         eta, eta_v = compute_viscosity_fields(
             c.eta, c.eta_v, material,
             res.txx, res.tyy, res.txy_c,
@@ -320,6 +329,7 @@ def _solve_vep(
             mode="tau",
             relaxation=viscosity_relaxation,
             cutoff=viscosity_cutoff,
+            **vp_kw,
         )
         Vx, Vy = kernels.compute_V(
             c.Vx, c.Vy, res.P_corrected, res.txx, res.tyy, res.txy_v,

@@ -7,6 +7,8 @@ any point leaves a record. Usage:
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

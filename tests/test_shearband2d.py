@@ -100,3 +100,23 @@ def test_shearband2d_gradient_convention_bracket():
     assert float(t1.min()) < g_min < float(t0.min())
     assert float(t0.max()) < g_max < float(t1.max())
     assert tm0[-1] < g_end < tm1[-1]
+
+
+@pytest.mark.slow
+def test_shearband2d_visc_plastic_tau_variant():
+    """PARITY.md hypothesis #2, tested round 5 and REJECTED: composing the
+    regularized plastic element into the in-loop τII-mode viscosity
+    (η = τII/(2(ε̇_visc + ε̇_pl)), ε̇_pl = max(τII − P·sinφ − C·cosφ, 0)/
+    (2η_reg) — what GeoParams' compute_viscosity_τII would do if the
+    DruckerPrager_regularised element contributes its constitutive inverse)
+    overshoots the reference goldens on BOTH extrema; the golden
+    (1.4979764, 1.6448491) stays strictly between the base convention and
+    this variant, and the interpolation weights needed to match min (0.21)
+    and max (0.15) are inconsistent. Frozen here as the executable record."""
+    _, info, _, _, tau_II = shearband.run(n=32, nt=10, visc_plastic_tau=True)
+    assert float(info.err) < 1.0e-6
+    assert float(tau_II.min()) == pytest.approx(1.4422770, abs=1e-4)
+    assert float(tau_II.max()) == pytest.approx(1.6643166, abs=1e-4)
+    # bracket: base 1.5129626 > golden 1.4979764 > variant min
+    assert float(tau_II.min()) < 1.4979764 < 1.5129626
+    assert 1.6415357 < 1.6448491 < float(tau_II.max())

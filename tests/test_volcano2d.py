@@ -30,16 +30,18 @@ def test_volcano2d_coupled():
     px = np.asarray(particles.px)[np.asarray(particles.active)]
     assert px.min() >= -1.0 and px.max() <= 30.0e3 + 1.0
 
-    # frozen golden values (round 3, CPU/x64): regressions in the coupled
+    # frozen golden values (round 5, CPU/x64): regressions in the coupled
     # variational solve / marker chain / melt path move these immediately.
-    # (Refrozen after the round-3 subgrid-diffusion parity fix: the Gerya
-    # scheme now hands the remaining diffusion increment to the particles,
-    # so the chamber's Dirichlet heat reaches pT — melt in the eruptible
-    # core rises to the physically expected ~0.72 from the 0.015 the old
-    # relax-toward-grid scheme produced by losing the increment.)
-    np.testing.assert_allclose(np.abs(Vy).max(), 1.1247803356679893e-05, rtol=1e-5)
-    np.testing.assert_allclose(y.min(), -248.82730798529053, rtol=1e-5)
-    np.testing.assert_allclose(y.max(), 393.55798262698323, rtol=1e-5)
+    # (Refrozen in round 5 after wiring the per-step marker-chain
+    # topography correction into the coupled loop — Caldera2D.jl:194,435 →
+    # src/phases/topography_correction.jl:36-90: rock particles above the
+    # advected chain / air particles below it are deactivated each step and
+    # re-seeded by injection with the chain-implied phase, sharpening the
+    # surface the buoyancy term sees. Previous r03 values: Vy_max
+    # 1.1248e-05, y [-248.83, 393.56], T_min 272.7168, tauII 1.6427e7.)
+    np.testing.assert_allclose(np.abs(Vy).max(), 1.3946289129149216e-05, rtol=1e-5)
+    np.testing.assert_allclose(y.min(), -263.5669607300024, rtol=1e-5)
+    np.testing.assert_allclose(y.max(), 323.05486911291047, rtol=1e-5)
     np.testing.assert_allclose(float(np.asarray(phi_m).max()), 0.7155154808992358, rtol=1e-5)
-    np.testing.assert_allclose(T.min(), 272.7167524341077, rtol=1e-6)
-    np.testing.assert_allclose(float(np.asarray(stokes.tau.II).max()), 16427392.944426298, rtol=1e-5)
+    np.testing.assert_allclose(T.min(), 272.7302522410007, rtol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(stokes.tau.II).max()), 18340921.940666106, rtol=1e-5)
