@@ -87,8 +87,10 @@ def _time_once(fn, n, carry, consts):
 def bench_family(name, factory_kwargs=None, repeats=3, preflight=None):
     from justrelax_tpu.utils import bench_kernels as bk
 
-    step, carry, consts, bytes_per_iter, n_cells = bk.FAMILIES[name](
-        **(factory_kwargs or {})
+    # factory work on the host CPU backend (axon eager ops are remote
+    # compiles — minutes per family otherwise), one transfer to the chip
+    step, carry, consts, bytes_per_iter, n_cells = bk.build_family_on_cpu(
+        name, factory_kwargs
     )
     # explicit AOT stage: for Pallas families the compile outcome at this
     # (production) shape is the dispatch-gate record the VERDICT asks for;
@@ -189,7 +191,7 @@ def paired_ab(name_a, name_b, repeats=5, kwargs_a=None, kwargs_b=None,
 
     paths = {}
     for key, name, kw in (("a", name_a, kwargs_a), ("b", name_b, kwargs_b)):
-        step, carry, consts, bpi, n_cells = bk.FAMILIES[name](**(kw or {}))
+        step, carry, consts, bpi, n_cells = bk.build_family_on_cpu(name, kw)
         fn = jax.jit(step).lower(
             jnp.asarray(10, jnp.int32), carry, consts).compile()
         _time_once(fn, 10, carry, consts)  # warmup

@@ -101,6 +101,7 @@ def run(nx=50, ny=20, nt=3, seed=0, dtype=None, eps=1.0e-5):
     t = 0.0
     dt = 10.0e3 * YR  # reference initial dt (Subduction2D_DYREL.jl:78)
     tip_hist = []
+    ycm_hist = []
     aux = {}
     for _ in range(nt):
         eta = phase_viscosity(material, jnp.ones(ni, f), None, pr_c, "tau")
@@ -140,9 +141,19 @@ def run(nx=50, ny=20, nt=3, seed=0, dtype=None, eps=1.0e-5):
                                                  geometry)
         t += dt
         # slab-tip depth diagnostic: deepest particle that is slab phase
+        # (noisy at fine grids — the deepest particle can be dropped by
+        # cell compaction, jittering the minimum by ~±dy/4)
         is_slab = jnp.round(p_phase) == SLAB
         tip = float(jnp.where(is_slab & particles.active, particles.py,
                               jnp.inf).min())
         tip_hist.append(tip)
+        # robust monotone-descent diagnostic: slab center-of-mass depth
+        # from the cell phase ratios (insensitive to individual particle
+        # dropout; strictly decreasing while the slab sinks)
+        yc = jnp.asarray(geometry.xci[1])
+        r_slab = pr_c[..., SLAB]
+        ycm = float(jnp.sum(r_slab * yc[None, :]) / jnp.sum(r_slab))
+        ycm_hist.append(ycm)
 
+    aux["ycm_hist"] = ycm_hist
     return stokes, particles, p_phase, pr_c, info, tip_hist, aux

@@ -198,11 +198,18 @@ def choose_blocking_vep3d(nx, ny, nz, n_const, itemsize=4,
                 if nby == 1:
                     Ry, Wy, Y_pad = y_pad_g, y_pad_g, y_pad_g
                 else:
-                    Ry = -(y_pad_g // -nby)
+                    # Mosaic/TPU alignment (r05 on-chip root cause): BOTH
+                    # the out-spec block's sublane dim (Ry) AND the DMA'd
+                    # VMEM window's sublane dim (Wy) must be multiples of
+                    # 8 — an async copy into a scratch with unaligned
+                    # second-minor dim crashes the TPU worker
+                    # (scripts/repro_2d_dma.py: Wy=34 faults, 40 runs).
+                    Ry = -((-(y_pad_g // -nby)) // -8) * 8
                     nby = -(y_pad_g // -Ry)
-                    Wy = Ry + 2 * H
+                    Wy = -((Ry + 2 * H) // -8) * 8
                     Y_pad = Ry * nby
-                    if Y_pad < Wy or Ry < H or (nby - 1) * Ry < 2 * H:
+                    if nby < 2 or Y_pad < Wy or Ry < H \
+                            or (nby - 1) * Ry < 2 * H:
                         continue
                 # sublane tiling pads Wy up to a multiple of 8 in VMEM
                 v = W * (-(Wy // -8) * 8) * z_pad * itemsize
@@ -219,7 +226,7 @@ def choose_blocking_vep3d(nx, ny, nz, n_const, itemsize=4,
 def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
                     scr_c, scr_k, sem_c, sem_k,
                     *, nx, ny, nz, R, Ry, H, W, Wy, X_pad, Y_pad,
-                    nbx, nby, names, snames, visc_m):
+                    nbx, nby, names, snames, visc_m, oxs, oys):
     i = pl.program_id(0)
     j = pl.program_id(1)
     inv_di = (scal_ref[0], scal_ref[1], scal_ref[2])
@@ -284,10 +291,9 @@ def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
     flat = (*out.V, out.P, out.theta, *out.tau_c, *out.tau_e, out.eta,
             out.lam, *out.lam_e)
 
-    offx = i * R - x0   # ∈ {0, H, 2H}
-    offy = j * Ry - y0  # ∈ {0, H, 2H} (0 when nby == 1)
-    oys = (0,) if nby == 1 else (0, H, 2 * H)
-    for ox in (0, H, 2 * H):
+    offx = i * R - x0   # ∈ oxs (host-enumerated owned-band offsets)
+    offy = j * Ry - y0  # ∈ oys (0 when nby == 1)
+    for ox in oxs:
         for oy in oys:
             @pl.when((offx == ox) & (offy == oy))
             def _(flat=flat, ox=ox, oy=oy):
@@ -332,12 +338,21 @@ def stokes3d_vep_chunk_blocked(
         )
     R, Ry, k, nbx, nby, X_pad, Y_pad, W, Wy = blocking
     H = 3 * k
-    for b in range(nbx):
-        assert b * R - min(max(b * R - H, 0), X_pad - W) in (0, H, 2 * H)
-    if nby > 1:
-        for b in range(nby):
-            assert b * Ry - min(max(b * Ry - H, 0), Y_pad - Wy) \
-                in (0, H, 2 * H)
+
+    def owned_offsets(nb, Rb, Pad, Wb):
+        """Static set of (block start − window start) offsets the clipped
+        window formula can produce; the kernel's unrolled copy-out
+        dispatches over exactly this set."""
+        return tuple(sorted({
+            b * Rb - min(max(b * Rb - H, 0), Pad - Wb) for b in range(nb)
+        }))
+
+    oxs = owned_offsets(nbx, R, X_pad, W)
+    oys = (0,) if nby == 1 else owned_offsets(nby, Ry, Y_pad, Wy)
+    for o in oxs:
+        assert 0 <= o <= W - R
+    for o in oys:
+        assert 0 <= o <= Wy - Ry
     z_pad = -(Z // -128) * 128
 
     def pad3(A):
@@ -358,7 +373,7 @@ def stokes3d_vep_chunk_blocked(
     kern = partial(
         _blocked_kernel, nx=nx, ny=ny, nz=nz, R=R, Ry=Ry, H=H, W=W, Wy=Wy,
         X_pad=X_pad, Y_pad=Y_pad, nbx=nbx, nby=nby,
-        names=names, snames=snames, visc_m=co.visc_m,
+        names=names, snames=snames, visc_m=co.visc_m, oxs=oxs, oys=oys,
     )
     call = pl.pallas_call(
         kern,

@@ -1188,3 +1188,25 @@ FAMILIES = {
 
 def make_family(name, **kwargs):
     return FAMILIES[name](**kwargs)
+
+
+def build_family_on_cpu(name, factory_kwargs=None):
+    """Build a family's (step, carry, consts, bytes/iter, n_cells) with the
+    factory's eager array work pinned to the host CPU backend, then move the
+    operands to the default (TPU) device in one transfer.
+
+    On the axon tunnel every eager op is a REMOTE compile+execute
+    (~seconds); a factory's ~10²-10³ tiny setup ops therefore cost many
+    minutes if they run on the attached TPU (measured r05: the
+    pallas_vep3d_blocked factory alone exceeded 15 min). Built on CPU the
+    same work is milliseconds, and the timed path is unchanged — the jitted
+    step still compiles and runs on the TPU."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        step, carry, consts, bpi, n_cells = FAMILIES[name](
+            **(factory_kwargs or {}))
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        carry = jax.device_put(carry, dev)
+        consts = jax.device_put(consts, dev)
+    return step, carry, consts, bpi, n_cells

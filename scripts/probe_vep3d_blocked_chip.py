@@ -17,6 +17,7 @@ n = int(sys.argv[1]) if len(sys.argv) > 1 else 126
 y_block = int(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2] != "0" else None
 plane_block = int(sys.argv[3]) if len(sys.argv) > 3 and sys.argv[3] != "0" else None
 k = int(sys.argv[4]) if len(sys.argv) > 4 and sys.argv[4] != "0" else None
+nvals = int(sys.argv[5]) if len(sys.argv) > 5 and sys.argv[5] != "0" else None
 
 print(f"device={jax.devices()[0]} n={n} y_block={y_block} "
       f"plane_block={plane_block} k={k}", flush=True)
@@ -25,13 +26,17 @@ from justrelax_tpu.ops.pallas_stokes3d_vep_blocked import choose_blocking_vep3d
 from justrelax_tpu.utils import bench_kernels as bk
 
 t0 = time.perf_counter()
-step, carry, consts, bpi, n_cells = bk.FAMILIES["pallas_vep3d_blocked"](
-    n=n, y_block=y_block, plane_block=plane_block, iters_per_pass=k)
+fkw = dict(n=n, y_block=y_block, plane_block=plane_block, iters_per_pass=k)
+if nvals is not None:
+    fkw["nvals"] = nvals
+step, carry, consts, bpi, n_cells = bk.build_family_on_cpu(
+    "pallas_vep3d_blocked", fkw)
 print(f"factory: {time.perf_counter()-t0:.1f}s bytes/iter={bpi/1e6:.1f}MB",
       flush=True)
 
 blocking = choose_blocking_vep3d(n, n, n, 21, 4, plane_block, k,
-                                 y_block=y_block)
+                                 y_block=y_block,
+                                 **({"nvals": nvals} if nvals else {}))
 print(f"blocking (R,Ry,k,nbx,nby,X_pad,Y_pad,W,Wy) = {blocking}", flush=True)
 
 t0 = time.perf_counter()
