@@ -106,26 +106,34 @@ def _rebuild_coeffs(get, names, sget, snames) -> CanvasCoeffs3D:
 
 def choose_blocking_3d(nx, ny, nz, n_const, itemsize=4,
                        plane_block=None, iters_per_pass=None,
-                       budget=105 * 1024 * 1024, n_slots=2, n_derived=0):
-    """Pick (R, k, n_blocks, X_pad, W) for the 3D blocked kernel.
+                       budget=105 * 1024 * 1024, n_slots=2, n_derived=0,
+                       y_block=None):
+    """Pick (R, k, n_blocks, X_pad, W, Ry, nby, Y_pad, Wy) for the 3D
+    blocked kernel.
 
     3D windows are fat (a halo PLANE costs a full (Y, Z) canvas), so the
     chooser scores candidates by modeled HBM traffic per iteration
-    ((n_tot·W/R + 10)/k plane-equivalents) subject to the VMEM budget:
-    scratch (n_slots·n_tot·W planes) + pipelined output (2·10·R) + 46·W
-    in-flight/register-spill planes. The 46·W term is calibrated on two
-    exact r04 compiler data points at 126³ (n_tot=21, serial): W=25
-    predicted 115.94 MB vs the compiler's reported 115.98 (OOM over the
-    110 MB scoped limit), W=22 predicted 104.6 MB and compiles — the same
-    spill phenomenology as the 2D VEP chooser's 90·W rows.
-    """
+    ((n_tot·(W·Wy)/(R·Ry) + 10)/k plane-equivalents) subject to the VMEM
+    budget: scratch (n_slots·n_tot window volumes) + pipelined output
+    (2·10·R·Ry) + 46 in-flight/register-spill window volumes. The 46 term
+    is calibrated on two exact r04 compiler data points at 126³ (n_tot=21,
+    serial, full-y): W=25 predicted 115.94 MB vs the compiler's reported
+    115.98 (OOM over the 110 MB scoped limit), W=22 predicted 104.6 MB and
+    compiles — the same spill phenomenology as the 2D VEP chooser's 90·W
+    rows.
+
+    r05: the y axis may also be blocked (nby > 1) so past-VMEM-residency
+    grids (254³) fit. Mosaic/TPU constraint (r05 on-chip root cause,
+    scripts/repro_2d_dma.py): the owned block Ry AND the DMA'd window Wy
+    must be sublane-aligned (multiples of 8) or the async copy crashes the
+    TPU worker."""
     X = nx + 2
-    y_pad = -((ny + 2) // -8) * 8
+    y_pad_g = -((ny + 2) // -8) * 8
     z_pad = -((nz + 2) // -128) * 128
-    plane = y_pad * z_pad * itemsize
     n_tot = _N_CARRY + n_const
     ks = [iters_per_pass] if iters_per_pass else [8, 6, 4, 3, 2]
     rs = [plane_block] if plane_block else list(range(64, 3, -1))
+    rys = [y_block] if y_block else [y_pad_g] + list(range(112, 7, -8))
     best = None
     for k in ks:
         H = 2 * k
@@ -136,41 +144,65 @@ def choose_blocking_3d(nx, ny, nz, n_const, itemsize=4,
             R = -(X // -n_blocks)
             W = R + 2 * H
             X_pad = R * n_blocks
-            # window offsets must land in {0, H, 2H} (predicated stores):
-            # interior starts unclipped needs R ≥ H; the top clamp needs
-            # (n_blocks−1)·R ≥ 2H
+            # window offsets must land in a small static set (predicated
+            # stores): interior starts unclipped needs R ≥ H; the top clamp
+            # needs (n_blocks−1)·R ≥ 2H
             if X_pad < W or R < H or (n_blocks - 1) * R < 2 * H:
                 continue
-            vmem = (
-                (n_slots * n_tot + n_derived + 46) * W + 2 * _N_CARRY * R
-            ) * plane
-            if vmem > budget:
-                continue
-            traffic = (n_tot * W / R + _N_CARRY) / k
-            if best is None or traffic < best[0]:
-                best = (traffic, (R, k, n_blocks, X_pad, W))
+            for ry_t in rys:
+                nby = -(y_pad_g // -ry_t)
+                if nby == 1:
+                    Ry, Wy, Y_pad = y_pad_g, y_pad_g, y_pad_g
+                else:
+                    Ry = -((-(y_pad_g // -nby)) // -8) * 8
+                    nby = -(y_pad_g // -Ry)
+                    Wy = -((Ry + 2 * H) // -8) * 8
+                    Y_pad = Ry * nby
+                    if nby < 2 or Y_pad < Wy or Ry < H \
+                            or (nby - 1) * Ry < 2 * H:
+                        continue
+                vol = W * Wy * z_pad * itemsize
+                vmem = (n_slots * n_tot + n_derived + 46) * vol \
+                    + 2 * _N_CARRY * R * Ry * z_pad * itemsize
+                if vmem > budget:
+                    continue
+                traffic = (n_tot * (W * Wy) / (R * Ry) + _N_CARRY) / k
+                if best is None or traffic < best[0]:
+                    best = (traffic,
+                            (R, k, n_blocks, X_pad, W, Ry, nby, Y_pad, Wy))
     return None if best is None else best[1]
 
 
 def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
                     scr_c, scr_k, sem_c, sem_k,
                     *, nx, ny, nz, R, H, W, X_pad, n_blocks, n_slots,
+                    Ry, nby, Y_pad, Wy, oxs, oys,
                     free_slip, pipeline, names, snames, derive_viscous):
     i = pl.program_id(0)
+    j = pl.program_id(1)
     inv_di = (scal_ref[0], scal_ref[1], scal_ref[2])
     k_act = nit_ref[0]
 
     def wstart(b):
         return jnp.clip(b * R - H, 0, X_pad - W)
 
+    def wstart_y(b):
+        if nby == 1:
+            return 0
+        return jnp.clip(b * Ry - H, 0, Y_pad - Wy)
+
+    y0 = wstart_y(j)
+
     def dma_c(slot, b):
         return pltpu.make_async_copy(
-            carry_hbm.at[:, pl.ds(wstart(b), W)], scr_c.at[slot], sem_c.at[slot]
+            carry_hbm.at[:, pl.ds(wstart(b), W), pl.ds(y0, Wy)],
+            scr_c.at[slot], sem_c.at[slot]
         )
 
     def dma_k(slot, b):
         return pltpu.make_async_copy(
-            const_hbm.at[:, pl.ds(wstart(b), W)], scr_k.at[slot], sem_k.at[slot]
+            const_hbm.at[:, pl.ds(wstart(b), W), pl.ds(y0, Wy)],
+            scr_k.at[slot], sem_k.at[slot]
         )
 
     if pipeline:
@@ -233,17 +265,19 @@ def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
     def body(_, c):
         return iteration3d_canvas(
             c, co, inv_di, nx=nx, ny=ny, nz=nz,
-            free_slip=free_slip, x_off=start,
+            free_slip=free_slip, x_off=start, y_off=y0,
         )
 
     out = lax.fori_loop(0, k_act, body, carry)
 
-    off = i * R - start  # ∈ {0, H, 2H}; predicated static-slice stores
-    for o_val in (0, H, 2 * H):
-        @pl.when(off == o_val)
-        def _(out=out, o_val=o_val):
-            for j in range(_N_CARRY):
-                out_ref[j] = out[j][o_val:o_val + R]
+    off = i * R - start   # ∈ oxs; predicated static-slice stores
+    offy = j * Ry - y0    # ∈ oys (0 when nby == 1)
+    for o_val in oxs:
+        for oy in oys:
+            @pl.when((off == o_val) & (offy == oy))
+            def _(out=out, o_val=o_val, oy=oy):
+                for jj in range(_N_CARRY):
+                    out_ref[jj] = out[jj][o_val:o_val + R, oy:oy + Ry]
 
 
 def stokes3d_chunk_blocked(
@@ -251,6 +285,7 @@ def stokes3d_chunk_blocked(
     free_slip: bool = True, interpret: bool = False,
     plane_block: Optional[int] = None, iters_per_pass: Optional[int] = None,
     pipeline: bool = False, viscous_consts=None, pt_scalars=None,
+    y_block: Optional[int] = None,
 ):
     """Advance ``nout`` fused 3D VE iterations via temporally-blocked x-slab
     streaming. Same contract as
@@ -282,18 +317,26 @@ def stokes3d_chunk_blocked(
     # r04 at 811 µs/iter vs the XLA canvas path's 492)
     blocking = choose_blocking_3d(
         nx, ny, nz, len(const_arrays), itemsize, plane_block, iters_per_pass,
-        n_slots=2 if pipeline else 1, n_derived=n_derived,
+        n_slots=2 if pipeline else 1, n_derived=n_derived, y_block=y_block,
     )
     if blocking is None:
         raise ValueError(f"no 3D blocked configuration fits VMEM for {nx}x{ny}x{nz}")
-    R, k, n_blocks, X_pad, W = blocking
+    R, k, n_blocks, X_pad, W, Ry, nby, Y_pad, Wy = blocking
     H = 2 * k
+    if pipeline and nby > 1:
+        raise ValueError("pipeline=True supports x-only blocking (nby == 1)")
     # every block's local output offset must hit a predicated store slot
-    offs = {
+    oxs = tuple(sorted({
         b * R - min(max(b * R - H, 0), X_pad - W) for b in range(n_blocks)
-    }
-    assert offs <= {0, H, 2 * H}, (blocking, offs)
-    y_pad = -(Y // -8) * 8
+    }))
+    oys = (0,) if nby == 1 else tuple(sorted({
+        b * Ry - min(max(b * Ry - H, 0), Y_pad - Wy) for b in range(nby)
+    }))
+    for o in oxs:
+        assert 0 <= o <= W - R
+    for o in oys:
+        assert 0 <= o <= Wy - Ry
+    y_pad = Y_pad
     z_pad = -(Z // -128) * 128
 
     def pad3(A):
@@ -308,7 +351,9 @@ def stokes3d_chunk_blocked(
     n_slots = 2 if pipeline else 1
     kern = partial(
         _blocked_kernel, nx=nx, ny=ny, nz=nz, R=R, H=H, W=W, X_pad=X_pad,
-        n_blocks=n_blocks, n_slots=n_slots, free_slip=free_slip,
+        n_blocks=n_blocks, n_slots=n_slots,
+        Ry=Ry, nby=nby, Y_pad=Y_pad, Wy=Wy, oxs=oxs, oys=oys,
+        free_slip=free_slip,
         pipeline=pipeline, names=names, snames=snames,
         derive_viscous=derive_viscous,
     )
@@ -316,24 +361,24 @@ def stokes3d_chunk_blocked(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_blocks,),
+            grid=(n_blocks, nby),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (_N_CARRY, R, y_pad, z_pad), lambda i, *_: (0, i, 0, 0)
+                (_N_CARRY, R, Ry, z_pad), lambda i, j, *_: (0, i, j, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((n_slots, _N_CARRY, W, y_pad, z_pad), dtype),
-                pltpu.VMEM((n_slots, len(const_arrays), W, y_pad, z_pad), dtype),
+                pltpu.VMEM((n_slots, _N_CARRY, W, Wy, z_pad), dtype),
+                pltpu.VMEM((n_slots, len(const_arrays), W, Wy, z_pad), dtype),
                 pltpu.SemaphoreType.DMA((n_slots,)),
                 pltpu.SemaphoreType.DMA((n_slots,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((_N_CARRY, X_pad, y_pad, z_pad), dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,

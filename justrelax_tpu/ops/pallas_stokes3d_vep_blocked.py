@@ -162,28 +162,41 @@ def _rebuild_vep_consts(get, names, sget, snames, pp: PlasticParams,
 def choose_blocking_vep3d(nx, ny, nz, n_const, itemsize=4,
                           plane_block=None, iters_per_pass=None,
                           budget=123 * 1024 * 1024, n_slots=1,
-                          nvals=190, y_block=None):
+                          nvals=None, y_block=None):
     """Pick (R, Ry, k, nbx, nby, X_pad, Y_pad, W, Wy) for the 2D-blocked
     VEP kernel.
 
     Unlike the VE kernel's 46·W spill model, the VEP body's register-spill
     footprint is ~nvals INDEPENDENT (W, Wy, Z)-shaped values (measured:
     98.77 MB at W=10 full-y = 151 values; 113.22 MB at W=9 = 192 — NOT
-    proportional to W), so x-only blocking cannot fit 126³: the kernel
-    blocks x AND y to shrink every value. Halo is 3k per side per blocked
-    axis (the VEP iteration's stencil radius is 3). Scored by modeled HBM
-    traffic per iteration, subject to spill + scratch + output ≤ budget."""
+    proportional to W; k=1 measures 146 at 126³, r05 compiler OOM report),
+    so x-only blocking cannot fit 126³: the kernel blocks x AND y to
+    shrink every value. Halo is 3k per side per blocked axis (the VEP
+    iteration's stencil radius is 3).
+
+    Scoring (r05, set by ON-CHIP measurement at 126³ f32): the VEP body is
+    COMPUTE-bound (VPU roofline probe: flop-SOL 399 µs vs 3452 µs
+    measured), so candidates are ranked by window compute redundancy
+    (W·Wy)/(R·Ry) FIRST, modeled HBM traffic as tiebreak — the traffic-
+    first objective picked R13/Ry24/k2 (redundancy 3.2×, 5.0 ms/iter)
+    while redundancy-first picks the measured-best k=1 square window
+    (1.6×, 3.74 ms/iter)."""
     X = nx + 2
     Y = ny + 2
     y_pad_g = -(Y // -8) * 8
     z_pad = -((nz + 2) // -128) * 128
     n_tot = _N_CARRY + n_const
-    ks = [iters_per_pass] if iters_per_pass else [3, 2, 1]
+    ks = [iters_per_pass] if iters_per_pass else [1, 2, 3]
+    nvals_given = nvals
     rs = [plane_block] if plane_block else list(range(64, 2, -1))
     rys = [y_block] if y_block else [y_pad_g] + list(range(112, 7, -8))
     best = None
     for k in ks:
         H = 3 * k
+        # measured spill counts (126³ compiler reports): ~190 live window
+        # values at k>=2, ~146-155 at k=1 (smaller unrolled live set)
+        nvals = nvals_given if nvals_given is not None \
+            else (155 if k == 1 else 190)
         for r_t in rs:
             nbx = -(X // -r_t)
             if nbx < 2:
@@ -217,9 +230,11 @@ def choose_blocking_vep3d(nx, ny, nz, n_const, itemsize=4,
                     + 2 * _N_CARRY * R * Ry * z_pad * itemsize
                 if vmem > budget:
                     continue
-                traffic = (n_tot * (W * Wy) / (R * Ry) + _N_CARRY) / k
-                if best is None or traffic < best[0]:
-                    best = (traffic, (R, Ry, k, nbx, nby, X_pad, Y_pad, W, Wy))
+                redundancy = (W * Wy) / (R * Ry)
+                traffic = (n_tot * redundancy + _N_CARRY) / k
+                score = (redundancy, traffic)
+                if best is None or score < best[0]:
+                    best = (score, (R, Ry, k, nbx, nby, X_pad, Y_pad, W, Wy))
     return None if best is None else best[1]
 
 
@@ -314,7 +329,7 @@ def stokes3d_vep_chunk_blocked(
     plane_block: Optional[int] = None,
     iters_per_pass: Optional[int] = None,
     y_block: Optional[int] = None,
-    nvals: int = 190,
+    nvals: Optional[int] = None,
 ) -> VEP3DCanvasCarry:
     """Advance ``nout`` fused canvas VEP iterations via 2D-blocked (x, y)
     window streaming. Same contract as

@@ -276,15 +276,16 @@ def ve3d_canvas_coefficients(
 
 
 def iteration3d_canvas(carry, co: CanvasCoeffs3D, inv_di, *,
-                       nx, ny, nz, free_slip=True, x_off=0, shift="roll"):
+                       nx, ny, nz, free_slip=True, x_off=0, y_off=0,
+                       shift="roll"):
     """One fused 3D VE PT iteration on the 10 collocated canvases.
 
     Equivalent to compute_grad_V_3d → compute_P → compute_strain_rate_3d →
     compute_tau_ve_3d → compute_V_3d → flow_bcs(free-slip) on the staggered
-    arrays (ops/stokes3d.py). ``x_off`` maps local canvas rows to global
-    rows for windowed (Pallas-blocked) execution. ``shift`` picks the
-    neighbor-shift lowering (module docstring): "slice" for XLA callers,
-    "roll" for Pallas-blocked callers (Mosaic).
+    arrays (ops/stokes3d.py). ``x_off``/``y_off`` map local canvas rows to
+    global rows along axes 0/1 for windowed (Pallas-blocked) execution.
+    ``shift`` picks the neighbor-shift lowering (module docstring):
+    "slice" for XLA callers, "roll" for Pallas-blocked callers (Mosaic).
     """
     _sm1, _sp1 = shift_fns(shift)
     Vx, Vy, Vz, P, txx, tyy, tzz, tyz, txz, txy = carry
@@ -296,7 +297,7 @@ def iteration3d_canvas(carry, co: CanvasCoeffs3D, inv_di, *,
         return _band(shape, 0, lo, hi, offset=x_off)
 
     def yb(lo, hi):
-        return _band(shape, 1, lo, hi)
+        return _band(shape, 1, lo, hi, offset=y_off)
 
     def zb(lo, hi):
         return _band(shape, 2, lo, hi)

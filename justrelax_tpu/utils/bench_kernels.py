@@ -957,7 +957,7 @@ def ve3d_canvas(n=126, dtype=jnp.float32, lean=False, shift="slice"):
 
 
 def pallas_ve3d_blocked(n=126, dtype=jnp.float32, plane_block=None,
-                        iters_per_pass=None, pipeline=False):
+                        iters_per_pass=None, pipeline=False, y_block=None):
     """Temporally-blocked x-slab streaming 3D kernel
     (ops/pallas_stokes3d_blocked.py) — same physics config and 35·N·4 B
     traffic convention as ``ve3d``/``ve3d_canvas``. Measurement history at
@@ -1007,7 +1007,8 @@ def pallas_ve3d_blocked(n=126, dtype=jnp.float32, plane_block=None,
     def step(n_iter, carry, consts):
         return stokes3d_chunk_blocked(
             carry, consts, inv_di, n_iter, plane_block=plane_block,
-            iters_per_pass=iters_per_pass, pipeline=pipeline)
+            iters_per_pass=iters_per_pass, pipeline=pipeline,
+            y_block=y_block)
 
     n_cells = n * n * n
     return step, carry, co, 35 * n_cells * 4, n_cells

@@ -96,6 +96,58 @@ def test_blocked3d_matches_canvas(ve, pipeline):
             )
 
 
+@pytest.mark.parametrize("ve", [False, True])
+def test_blocked3d_y_blocked_matches_canvas(ve):
+    """(x, y)-blocked windows (nby > 1, r05 — the past-VMEM-residency
+    path for 254³-class grids) == the XLA canvas chunk. Forces y_block=16
+    on a 30-cell y axis → 2 y-blocks with 2·H halos and a sublane-aligned
+    window."""
+    ni = (22, 30, 7)
+    nx, ny, nz = ni
+    geometry = Geometry(ni, (1.0, 1.3, 0.8))
+    pt = PTStokesCoeffs.make(geometry.li, geometry.di, CFL=0.9 / math.sqrt(3.1))
+    fields, (eta, fx, fy, fz) = _random_state(ni, seed=11)
+    eta_tau = maxloc(eta, window=1)
+    inv_di = tuple(1.0 / d for d in geometry.di)
+    kw = {}
+    if ve:
+        rng = np.random.default_rng(3)
+
+        def r(*shape):
+            return jnp.asarray(rng.standard_normal(shape)) * 0.1
+
+        kw = dict(
+            G=jnp.exp(r(*ni) + 1.0), K=jnp.exp(r(*ni) + 2.0),
+            P0=r(*ni), Q=r(*ni),
+            tau_o=(r(*ni), r(*ni), r(*ni), r(nx, ny + 1, nz + 1),
+                   r(nx + 1, ny, nz + 1), r(nx + 1, ny + 1, nz)),
+            dt=0.5,
+        )
+    co = ve3d_canvas_coefficients(
+        eta, eta_tau, float(pt.r), float(pt.theta_dtau), float(pt.etadtau),
+        fx=fx, fy=fy, fz=fz, **kw,
+    )
+    carry = tuple(pack_carry(*fields))
+    blocking = choose_blocking_3d(nx, ny, nz, 11, 8, plane_block=8,
+                                  iters_per_pass=2, y_block=16)
+    assert blocking is not None and blocking[6] == 2  # nby == 2
+    for nout in (5,):
+        want = unpack_carry(
+            jnp.stack(stokes3d_chunk_canvas(carry, co, inv_di, nout)), *ni
+        )
+        got = unpack_carry(
+            jnp.stack(stokes3d_chunk_blocked(
+                carry, co, inv_di, nout, interpret=True,
+                plane_block=8, iters_per_pass=2, y_block=16,
+            )), *ni,
+        )
+        for name, a, b in zip(NAMES, want, got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14,
+                err_msg=f"{name} (y-blocked, ve={ve})",
+            )
+
+
 def test_blocked3d_derive_viscous_matches_canvas():
     """The derive-in-kernel viscous-coefficient path (streams only η, ητ, f)
     == the streamed-coefficient path == the XLA canvas chunk."""

@@ -105,6 +105,73 @@ def test_sticky_air_subduction_dyrel():
 
 
 @pytest.mark.slow
+def test_sticky_air_subduction_dyrel_reference_scale():
+    """The reference CONFIGURATION: 125×50 for 10 coupled steps
+    (Subduction2D_DYREL.jl:73 — nx, ny = 125, 50; nt = 10). ~8 min CPU/f64.
+
+    Physics regime note (r05 calibration): at this resolution the measured
+    peak rock speed is ~4.1e-9 m/s (≈13 cm/yr) and Σdt over 10 steps is
+    ~500 kyr, so the slab tip's physical descent over the whole app run is
+    ~1-4 km — BELOW one cell (dy = 15 km) and below the ±3 km jitter of
+    the deepest-particle diagnostic (Schmeling-class sinking takes tens of
+    Myr; the reference validates this app visually over the same 10
+    steps). The oracles therefore pin the force balance, the SINKING
+    VELOCITY structure at the tip, the sticky-air stress contrast, and
+    frozen goldens — not cell-scale descent, which the run cannot
+    physically produce."""
+    nx, ny, nt = 125, 50, 10
+    stokes, particles, p_phase, pr_c, info, tip_hist, aux = m.run(
+        nx=nx, ny=ny, nt=nt)
+    assert float(info.err) < 1.0e-4
+
+    from justrelax_tpu.core.grid import Geometry
+
+    geometry = Geometry((nx, ny), (3000.0 * KM, 750.0 * KM),
+                        origin=(0.0, -700.0 * KM))
+    rx, ry, divmax = _mom_residual(geometry, stokes, aux["eta"],
+                                   aux["eta_v"], aux["rho_gy"])
+    scale = float(np.abs(np.asarray(aux["rho_gy"])).mean())  # ~2.9e4 Pa/m
+    # calibrated r05 (1-step): rx 1.6e-4, ry 2.8e-3 → ~1e-7 of scale
+    assert rx < 1.0e-5 * scale and ry < 1.0e-4 * scale, (rx, ry, scale)
+    assert divmax < 1.0e-12
+
+    # tip-region velocity: after step 1 the tip sinks (calibrated
+    # -1.4e-9 m/s); over the 10-step run the free surface develops the
+    # bounded "drunken sailor" oscillation this config is KNOWN for
+    # (free_surface stabilization is OFF in the reference app too —
+    # Subduction2D_DYREL.jl:121 `free_surface = false`, dt = 0.8·CFL at
+    # :183 — so alternating-sign interface velocities are the faithful
+    # behavior, cf. Kaus et al. 2010; tip_hist alternates with ~km
+    # amplitude). The oracle is therefore BOUNDED oscillation, not
+    # final-state sign: the tip velocity stays O(sinking speed) and the
+    # tip depth never leaves the ±10 km band around its initial -200 km.
+    yc = np.asarray(geometry.xci[1])
+    r_slab = np.asarray(pr_c[..., m.SLAB])
+    Vy = np.asarray(stokes.V.Vy)
+    Vy_c = 0.5 * (Vy[1:-1, 1:] + Vy[1:-1, :-1])
+    tipmask = (r_slab > 0.5) & (yc[None, :] < -150.0 * KM)
+    assert tipmask.sum() >= 8
+    assert abs(float(Vy_c[tipmask].mean())) < 1.0e-8
+
+    # sticky air: stress contrast (calibrated ratio 0.008-0.016)
+    tII = np.asarray(stokes.tau.II)
+    t_air = float(tII[:, yc > 5.0 * KM].max())
+    t_rock = float(tII[:, yc < -5.0 * KM].max())
+    assert t_air < 0.05 * t_rock, (t_air, t_rock)
+
+    # frozen goldens (r05, f64, seed 0): peak rock speed and the bounded
+    # slab-mass depth drift (|Δycm| ≈ 1 km over the run)
+    from justrelax_tpu.ops.interpolation import velocity2vertex
+    Vxv, Vyv = velocity2vertex(stokes.V.Vx, stokes.V.Vy)
+    yv = np.asarray(geometry.xvi[1])
+    v_rock = float(jnp.sqrt(Vxv**2 + Vyv**2)[:, yv < 0.0].max())
+    np.testing.assert_allclose(v_rock, 4.146366626154032e-09, rtol=5e-2)
+    ycm = aux["ycm_hist"]
+    assert abs(ycm[-1] - ycm[0]) < 2.0 * KM, ycm
+    assert all(-210.0 * KM < t < -190.0 * KM for t in tip_hist), tip_hist
+
+
+@pytest.mark.slow
 def test_sticky_air_subduction_dyrel_vs_apt():
     """Loose APT cross-check of the first Stokes solve (see module doc for
     why tight field agreement is NOT expected on this config)."""
@@ -151,14 +218,18 @@ def test_sticky_air_subduction_dyrel_vs_apt():
     vmax_apt = float(jnp.sqrt(Vxa**2 + Vya**2).max())
 
     # eps=1e-6: the returned state is the certified one (reference break-
-    # after-check semantics), so the default 1e-5 leaves ~8% convergence
-    # slack on top of the discretization gap
+    # after-check semantics). Convergence-limit analysis (r05): DYREL vmax
+    # is IDENTICAL at eps 1e-6 / 3e-7 / 1e-7 (2.0061160e-8) — the 20.4%
+    # gap vs APT (2.52e-8) is the pure discretization-convention fixed
+    # point, not convergence slack, so the cross-check is tightened to
+    # bracket that measured limit and the DYREL fixed point itself is
+    # frozen tightly.
     stokes = m.run(nx=nx, ny=ny, nt=1, eps=1.0e-6)[0]
     Vxd, Vyd = velocity2vertex(stokes.V.Vx, stokes.V.Vy)
     vmax_dy = float(jnp.sqrt(Vxd**2 + Vyd**2).max())
 
-    # measured r04 gap: 15% (discretization-convention sensitivity)
-    np.testing.assert_allclose(vmax_dy, vmax_apt, rtol=0.25)
+    np.testing.assert_allclose(vmax_dy, 2.0061160220917646e-08, rtol=1e-3)
+    np.testing.assert_allclose(vmax_dy, vmax_apt, rtol=0.22)
     # the flow structure agrees: normalized Vy fields strongly correlated
     a = np.asarray(Vya).ravel()
     d = np.asarray(Vyd).ravel()
