@@ -149,6 +149,14 @@ def choose_blocking_3d(nx, ny, nz, n_const, itemsize=4,
             # needs (n_blocks−1)·R ≥ 2H
             if X_pad < W or R < H or (n_blocks - 1) * R < 2 * H:
                 continue
+            # y-halo rounded to sublane tiles so every window START is a
+            # multiple of 8 BY CONSTRUCTION (j·Ry − Hy with Ry, Hy, and
+            # both clip bounds all multiples of 8): Mosaic's divisibility
+            # prover rejects unaligned dynamic slice starts in the
+            # second-minor dim when z_pad > 128 (254³ compile failure,
+            # r05; at z_pad = 128 unaligned starts compile and run —
+            # measured on-chip — so alignment is applied only when needed)
+            Hy = -(H // -8) * 8 if z_pad > 128 else H
             for ry_t in rys:
                 nby = -(y_pad_g // -ry_t)
                 if nby == 1:
@@ -156,7 +164,7 @@ def choose_blocking_3d(nx, ny, nz, n_const, itemsize=4,
                 else:
                     Ry = -((-(y_pad_g // -nby)) // -8) * 8
                     nby = -(y_pad_g // -Ry)
-                    Wy = -((Ry + 2 * H) // -8) * 8
+                    Wy = Ry + 2 * Hy
                     Y_pad = Ry * nby
                     if nby < 2 or Y_pad < Wy or Ry < H \
                             or (nby - 1) * Ry < 2 * H:
@@ -176,7 +184,7 @@ def choose_blocking_3d(nx, ny, nz, n_const, itemsize=4,
 def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
                     scr_c, scr_k, sem_c, sem_k,
                     *, nx, ny, nz, R, H, W, X_pad, n_blocks, n_slots,
-                    Ry, nby, Y_pad, Wy, oxs, oys,
+                    Ry, nby, Y_pad, Wy, Hy, oxs, oys,
                     free_slip, pipeline, names, snames, derive_viscous):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -189,7 +197,12 @@ def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
     def wstart_y(b):
         if nby == 1:
             return 0
-        return jnp.clip(b * Ry - H, 0, Y_pad - Wy)
+        y0 = jnp.clip(b * Ry - Hy, 0, Y_pad - Wy)
+        if Hy % 8 == 0 and Ry % 8 == 0 and (Y_pad - Wy) % 8 == 0:
+            # every term is a multiple of 8, so the start is too;
+            # pl.multiple_of asserts it to Mosaic's divisibility prover
+            y0 = pl.multiple_of(y0, 8)
+        return y0
 
     y0 = wstart_y(j)
 
@@ -323,6 +336,7 @@ def stokes3d_chunk_blocked(
         raise ValueError(f"no 3D blocked configuration fits VMEM for {nx}x{ny}x{nz}")
     R, k, n_blocks, X_pad, W, Ry, nby, Y_pad, Wy = blocking
     H = 2 * k
+    Hy = (Wy - Ry) // 2 if nby > 1 else H  # chooser: Wy = Ry + 2·Hy
     if pipeline and nby > 1:
         raise ValueError("pipeline=True supports x-only blocking (nby == 1)")
     # every block's local output offset must hit a predicated store slot
@@ -330,7 +344,7 @@ def stokes3d_chunk_blocked(
         b * R - min(max(b * R - H, 0), X_pad - W) for b in range(n_blocks)
     }))
     oys = (0,) if nby == 1 else tuple(sorted({
-        b * Ry - min(max(b * Ry - H, 0), Y_pad - Wy) for b in range(nby)
+        b * Ry - min(max(b * Ry - Hy, 0), Y_pad - Wy) for b in range(nby)
     }))
     for o in oxs:
         assert 0 <= o <= W - R
@@ -352,7 +366,7 @@ def stokes3d_chunk_blocked(
     kern = partial(
         _blocked_kernel, nx=nx, ny=ny, nz=nz, R=R, H=H, W=W, X_pad=X_pad,
         n_blocks=n_blocks, n_slots=n_slots,
-        Ry=Ry, nby=nby, Y_pad=Y_pad, Wy=Wy, oxs=oxs, oys=oys,
+        Ry=Ry, nby=nby, Y_pad=Y_pad, Wy=Wy, Hy=Hy, oxs=oxs, oys=oys,
         free_slip=free_slip,
         pipeline=pipeline, names=names, snames=snames,
         derive_viscous=derive_viscous,

@@ -193,6 +193,9 @@ def choose_blocking_vep3d(nx, ny, nz, n_const, itemsize=4,
     best = None
     for k in ks:
         H = 3 * k
+        # window starts must be provably sublane-aligned when z_pad > 128
+        # (Mosaic divisibility prover; see pallas_stokes3d_blocked.py r05)
+        Hy = -(H // -8) * 8 if z_pad > 128 else H
         # measured spill counts (126³ compiler reports): ~190 live window
         # values at k>=2, ~146-155 at k=1 (smaller unrolled live set)
         nvals = nvals_given if nvals_given is not None \
@@ -219,7 +222,7 @@ def choose_blocking_vep3d(nx, ny, nz, n_const, itemsize=4,
                     # (scripts/repro_2d_dma.py: Wy=34 faults, 40 runs).
                     Ry = -((-(y_pad_g // -nby)) // -8) * 8
                     nby = -(y_pad_g // -Ry)
-                    Wy = -((Ry + 2 * H) // -8) * 8
+                    Wy = -((Ry + 2 * Hy) // -8) * 8
                     Y_pad = Ry * nby
                     if nby < 2 or Y_pad < Wy or Ry < H \
                             or (nby - 1) * Ry < 2 * H:
@@ -240,7 +243,7 @@ def choose_blocking_vep3d(nx, ny, nz, n_const, itemsize=4,
 
 def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
                     scr_c, scr_k, sem_c, sem_k,
-                    *, nx, ny, nz, R, Ry, H, W, Wy, X_pad, Y_pad,
+                    *, nx, ny, nz, R, Ry, H, Hy, W, Wy, X_pad, Y_pad,
                     nbx, nby, names, snames, visc_m, oxs, oys):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -263,7 +266,10 @@ def _blocked_kernel(scal_ref, nit_ref, carry_hbm, const_hbm, out_ref,
     def wstart_y(b):
         if nby == 1:
             return 0
-        return jnp.clip(b * Ry - H, 0, Y_pad - Wy)
+        y0 = jnp.clip(b * Ry - Hy, 0, Y_pad - Wy)
+        if Hy % 8 == 0 and Ry % 8 == 0 and (Y_pad - Wy) % 8 == 0:
+            y0 = pl.multiple_of(y0, 8)
+        return y0
 
     x0 = wstart_x(i)
     y0 = wstart_y(j)
@@ -353,17 +359,20 @@ def stokes3d_vep_chunk_blocked(
         )
     R, Ry, k, nbx, nby, X_pad, Y_pad, W, Wy = blocking
     H = 3 * k
+    z_pad_chk = -(Z // -128) * 128
+    Hy = -(H // -8) * 8 if z_pad_chk > 128 else H
 
-    def owned_offsets(nb, Rb, Pad, Wb):
+    def owned_offsets(nb, Rb, Pad, Wb, Hb=None):
         """Static set of (block start − window start) offsets the clipped
         window formula can produce; the kernel's unrolled copy-out
         dispatches over exactly this set."""
+        Hb = H if Hb is None else Hb
         return tuple(sorted({
-            b * Rb - min(max(b * Rb - H, 0), Pad - Wb) for b in range(nb)
+            b * Rb - min(max(b * Rb - Hb, 0), Pad - Wb) for b in range(nb)
         }))
 
     oxs = owned_offsets(nbx, R, X_pad, W)
-    oys = (0,) if nby == 1 else owned_offsets(nby, Ry, Y_pad, Wy)
+    oys = (0,) if nby == 1 else owned_offsets(nby, Ry, Y_pad, Wy, Hy)
     for o in oxs:
         assert 0 <= o <= W - R
     for o in oys:
@@ -387,7 +396,7 @@ def stokes3d_vep_chunk_blocked(
 
     kern = partial(
         _blocked_kernel, nx=nx, ny=ny, nz=nz, R=R, Ry=Ry, H=H, W=W, Wy=Wy,
-        X_pad=X_pad, Y_pad=Y_pad, nbx=nbx, nby=nby,
+        X_pad=X_pad, Y_pad=Y_pad, nbx=nbx, nby=nby, Hy=Hy,
         names=names, snames=snames, visc_m=co.visc_m, oxs=oxs, oys=oys,
     )
     call = pl.pallas_call(
