@@ -74,8 +74,13 @@ def _err_tail(exc, n=900):
 
 
 def _materialize(out):
+    # Reduce ON DEVICE and fetch 4 bytes: np.asarray(leaf) would download
+    # the whole array over the tunnel (67 MB/leaf at 254³ — seconds of
+    # jitter per timing call, the r05 254³ A/B noise source). The sum
+    # executes after the timed computation, so it still forces completion
+    # (block_until_ready does not actually block on axon).
     leaf = jax.tree.leaves(out)[0]
-    return float(np.asarray(leaf).ravel()[0])
+    return float(np.asarray(jnp.sum(leaf)))
 
 
 def _time_once(fn, n, carry, consts):
@@ -211,9 +216,15 @@ def paired_ab(name_a, name_b, repeats=5, kwargs_a=None, kwargs_b=None,
 
     out = {}
     stats = {}
+    degraded = False
     for key in ("a", "b"):
         p = paths[key]
-        ts = sorted(p["slopes"])
+        # a repeat whose slope collapsed to the 1e-12 clamp (negative raw
+        # slope under jitter) is an invalid sample, not a fast kernel
+        ts = sorted(t for t in p["slopes"] if t > 1e-9)
+        if len(ts) < 3:
+            degraded = True
+            ts = ts or [1.0]
         med = ts[len(ts) // 2]
         half_range = (ts[-1] - ts[0]) / 2.0
         stats[key] = (med, half_range)
@@ -221,12 +232,15 @@ def paired_ab(name_a, name_b, repeats=5, kwargs_a=None, kwargs_b=None,
             "T_eff_GBs_median": round(p["bpi"] / med / 1e9, 2),
             "T_eff_GBs_best": round(p["bpi"] / ts[0] / 1e9, 2),
             "t_iter_us_repeats": [round(t * 1e6, 2) for t in p["slopes"]],
+            "n_valid": len(ts),
             "dn": p["dn"],
         }
     (med_a, hr_a), (med_b, hr_b) = stats["a"], stats["b"]
     gap = med_a - med_b  # >0: b (blocked) faster
     noise = max(hr_a, hr_b)
-    if abs(gap) <= noise:
+    if degraded:
+        decision = "invalid (collapsed repeats)"
+    elif abs(gap) <= noise:
         decision = "tie"
     else:
         decision = name_b if gap > 0 else name_a

@@ -400,6 +400,8 @@ def iteration_vep3d_canvas(
     shift="slice",
     x_off=0,
     y_off=0,
+    edges_pallas=False,
+    edges_interpret=False,
 ):
     """One fused 3D VEP PT iteration on collocated canvases — semantics of
     solvers/stokes3d_vep.py::one_iteration (maxloc → θ update → ρ(T,P)·g →
@@ -407,7 +409,15 @@ def iteration_vep3d_canvas(
     continuation → damped velocity update + free-slip BCs). ``x_off``/
     ``y_off`` map local canvas rows to global rows for windowed
     (Pallas-blocked) execution; ``shift="roll"`` is the Mosaic-compatible
-    lowering."""
+    lowering.
+
+    ``edges_pallas=True`` is the r05 HYBRID iteration: the three edge
+    return-mapping passes (~78% of the XLA iteration's time, pass-bisect
+    probe) run in the radius-2 Pallas x-slab kernel
+    (ops/pallas_vep3d_edges.py) while everything else stays XLA; both
+    passes read the pre-iteration state (Jacobi), so the split is exact.
+    Requires ``co`` built with ``scalar_plastic=True, hoist_tau_o=False``
+    (the blocked-kernel consts convention)."""
     ni = (nx, ny, nz)
     _sm1, _sp1 = shift_fns(shift)
     moves = canvas_moves(ni, shift=shift, x_off=x_off, y_off=y_off)
@@ -469,14 +479,33 @@ def iteration_vep3d_canvas(
     # 4. fused center+edges return mapping — the EXACT serial kernel body,
     # driven through canvas-collocated moves and the precomputed
     # phase-blended parameter canvases (no (..., nphase) math in the loop)
-    res = update_stresses_center_edges_3d(
-        (exx, eyy, ezz), (eyz, exz, exy),
-        c.tau_c, c.tau_e, co.tau_o_c, co.tau_o_e,
-        theta, c.eta, c.lam, c.lam_e, None,
-        material, None, (None, None, None),
-        lambda_relaxation, dt, theta_dtau,
-        moves=moves, params=co.params,
-    )
+    if edges_pallas:
+        from justrelax_tpu.ops.pallas_vep3d_edges import vep3d_edges_blocked
+
+        res = update_stresses_center_edges_3d(
+            (exx, eyy, ezz), (eyz, exz, exy),
+            c.tau_c, c.tau_e, co.tau_o_c, co.tau_o_e,
+            theta, c.eta, c.lam, c.lam_e, None,
+            material, None, (None, None, None),
+            lambda_relaxation, dt, theta_dtau,
+            moves=moves, params=co.params, probe_passes=("center",),
+        )
+        tau_e_k, lam_e_k = vep3d_edges_blocked(
+            c.V, theta, c.eta, c.tau_c, c.tau_e, c.lam_e, co, inv_di,
+            dt=dt, theta_dtau=theta_dtau,
+            lambda_relaxation=lambda_relaxation,
+            interpret=edges_interpret,
+        )
+        res = res._replace(tau_e=tau_e_k, lam_e=lam_e_k)
+    else:
+        res = update_stresses_center_edges_3d(
+            (exx, eyy, ezz), (eyz, exz, exy),
+            c.tau_c, c.tau_e, co.tau_o_c, co.tau_o_e,
+            theta, c.eta, c.lam, c.lam_e, None,
+            material, None, (None, None, None),
+            lambda_relaxation, dt, theta_dtau,
+            moves=moves, params=co.params,
+        )
     tau_c = tuple(
         jnp.where(Mc, t, old) for t, old in zip(res.tau_c, c.tau_c)
     )

@@ -1023,7 +1023,7 @@ def vep2d_1024(dtype=jnp.float32):
     return vep2d(n=1024, dtype=dtype)
 
 
-def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False,
+def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False, edges=False,
                  plane_block=None, iters_per_pass=None, y_block=None,
                  nvals=None):
     """Collocated-canvas 3D VEP iteration (ops/stokes3d_vep_canvas.py) —
@@ -1101,10 +1101,12 @@ def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False,
         lam=embed_center(Z),
         lam_e=tuple(embed_edge(t, k) for k, t in enumerate((tyz, txz, txy))),
     )
+    scalar_consts = blocked or edges
     co = vep3d_canvas_consts(
         material, (txx_o, -txx_o, Z, Z, Z, Z), (tyz, txz, txy), Z, Z, Z,
         pr.center, (pr.edge_yz, pr.edge_xz, pr.edge_xy),
-        hoist_tau_o=not blocked, scalar_plastic=blocked, scalar_K=blocked,
+        hoist_tau_o=not scalar_consts, scalar_plastic=scalar_consts,
+        scalar_K=scalar_consts,
     )
     co = jax.tree.map(
         lambda x: x.astype(dtype)
@@ -1130,6 +1132,13 @@ def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False,
             return stokes3d_vep_chunk_blocked(
                 carry, consts, inv_di, n_iter, **bkw, **kw,
             )
+    elif edges:
+        # r05 hybrid: Pallas edge passes + XLA center/velocity
+        def step(n_iter, carry, consts):
+            return vep3d_chunk_canvas(
+                carry, consts, material, inv_di, n_iter,
+                edges_pallas=True, **kw,
+            )
     else:
         def step(n_iter, carry, consts):
             return vep3d_chunk_canvas(
@@ -1142,6 +1151,14 @@ def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False,
 
 def pallas_vep3d_blocked(**kw):
     return vep3d_canvas(blocked=True, **kw)
+
+
+def pallas_vep3d_edges(**kw):
+    """r05 hybrid iteration: the three edge return-mapping passes (78% of
+    the XLA iteration, pass-bisect probe) in the radius-2 Pallas x-slab
+    kernel (ops/pallas_vep3d_edges.py), center/theta/viscosity/velocity in
+    XLA. Same 71-canvas traffic convention as vep3d so rows compare."""
+    return vep3d_canvas(edges=True, **kw)
 
 
 def ve3d_254(dtype=jnp.float32):
@@ -1179,6 +1196,7 @@ FAMILIES = {
     "pallas_ve3d_blocked_254": pallas_ve3d_blocked_254,
     "pallas_ve2d": pallas_ve2d,
     "pallas_vep3d_blocked": pallas_vep3d_blocked,
+    "pallas_vep3d_edges": pallas_vep3d_edges,
     "pallas_ve2d_blocked": pallas_ve2d_blocked,
     "pallas_ve3d_blocked": pallas_ve3d_blocked,
     "pallas_vep2d": pallas_vep2d,

@@ -34,6 +34,7 @@ SMOKE_KWARGS = {
     "pallas_vep2d_blocked": dict(n=128),
     "pallas_thermal2d": dict(n=62),
     "pallas_vep3d_blocked": dict(n=30),
+    "pallas_vep3d_edges": dict(n=16),
     # fixed-size past-VMEM families: trace at the real (254^3) shape —
     # eval_shape is cheap, only the factory's CPU array build costs time
     "ve3d_254": dict(),
@@ -52,14 +53,6 @@ def test_family_instantiates_and_traces(name):
         **SMOKE_KWARGS[name]
     )
     assert bytes_per_iter > 0 and n_cells > 0
-    if name == "pallas_ve3d_blocked_254":
-        # known limitation (documented in the family docstring): the VE
-        # blocked kernel blocks x only; no x-slab window fits VMEM at
-        # 254^3. The bench records this as an honest error row until the
-        # VE kernel gains the VEP kernel's (x, y) blocking.
-        with pytest.raises(ValueError, match="no 3D blocked configuration"):
-            jax.eval_shape(step, jnp.asarray(2, jnp.int32), carry, consts)
-        return
     out = jax.eval_shape(step, jnp.asarray(2, jnp.int32), carry, consts)
     # tracing succeeded; the output must be a non-empty pytree of concrete
     # shapes (some families return a richer pytree than their timed carry,
