@@ -322,6 +322,62 @@ def _golden_items(level):
         return {"value": float(ur_p[-1]), "xla": float(ur_x[-1]),
                 "rel_gap": float(rel), "err": float(info_p.err), "pass": ok}
 
+    def vep3d_hybrid():
+        """3D VEP through the r05 fast path: solve_vep_3d(use_pallas=True)
+        — Pallas edge passes + XLA center (ops/pallas_vep3d_edges.py) —
+        vs the XLA mixed-shape solve, cross-checked ON-CHIP (certified
+        12% paired-A/B win; this golden keeps it honest)."""
+        import math as _math
+
+        import jax.numpy as _jnp
+
+        from justrelax_tpu.core.coeffs import PTStokesCoeffs
+        from justrelax_tpu.core.grid import Geometry
+        from justrelax_tpu.core.state import StokesState
+        from justrelax_tpu.ops.bc import (
+            Faces, VelocityBoundaryConditions, flow_bcs)
+        from justrelax_tpu.rheology.materials import Material, MaterialStack
+        from justrelax_tpu.rheology.phases import phase_ratios_from_field
+        from justrelax_tpu.solvers.stokes3d_vep import solve_vep_3d
+
+        n = 10
+        ni = (n, n, n)
+        geometry = Geometry(ni, (1.0, 1.0, 1.0))
+        common = dict(Kb=4.0, eta0=1.0, is_plastic=1.0,
+                      C=0.15 / _math.cos(_math.radians(30.0)),
+                      friction_angle=30.0, eta_reg=8.0e-3)
+        mat = MaterialStack.make([
+            Material(G=1.0, **common), Material(G=0.5, **common)])
+        X, Y, Z = geometry.cell_centers_mesh()
+        sph = ((np.asarray(X) - 0.5) ** 2 + (np.asarray(Y) - 0.5) ** 2
+               + (np.asarray(Z) - 0.5) ** 2) < 0.15 ** 2
+        pr = phase_ratios_from_field(_jnp.asarray(sph.astype(int)), 2)
+        st = StokesState.make(ni)
+        st = st.replace(viscosity=st.viscosity.replace(eta=_jnp.ones(ni)))
+        xv = _jnp.asarray(geometry.xvi[0])
+        zv = _jnp.asarray(geometry.xvi[2])
+        Vx = _jnp.broadcast_to(xv[:, None, None], (n + 1, n + 2, n + 2))
+        Vy = _jnp.zeros((n + 2, n + 1, n + 2))
+        Vz = _jnp.broadcast_to((-zv)[None, None, :], (n + 2, n + 2, n + 1))
+        bc = VelocityBoundaryConditions(free_slip=Faces(
+            left=True, right=True, top=True, bot=True,
+            front=True, back=True))
+        Vx, Vy, Vz = flow_bcs((Vx, Vy, Vz), bc)
+        st = st.replace(V=st.V.replace(Vx=Vx, Vy=Vy, Vz=Vz))
+        pt = PTStokesCoeffs.make(geometry.li, geometry.di, eps_rel=1.0e-5,
+                                 eps_abs=1.0e-5,
+                                 CFL=0.75 / _math.sqrt(3.1))
+        args = (st, pt, geometry, bc, mat, pr.center,
+                (pr.edge_yz, pr.edge_xz, pr.edge_xy), 0.25)
+        kw = dict(iter_max=3000, iter_min=100, nout=100)
+        out_h, info_h = solve_vep_3d(*args, use_pallas=True, **kw)
+        out_x, info_x = solve_vep_3d(*args, **kw)
+        scale = float(_jnp.abs(out_x.tau.II).max())
+        gap = float(_jnp.abs(out_h.tau.II - out_x.tau.II).max()) / scale
+        ok = bool(gap < 1e-3 and np.isfinite(scale) and scale > 0)
+        return {"value": float(_jnp.abs(out_h.tau.II).max()), "xla": scale,
+                "rel_gap": gap, "err": float(info_h.err), "pass": ok}
+
     def blob3d_pallas():
         """3D solve through solve_ve_3d(use_pallas=True) (VERDICT r03 #4):
         rising-blob coupled step, Pallas blocked kernel vs XLA on-chip."""
@@ -351,6 +407,8 @@ def _golden_items(level):
     # Pallas VEP chunk, and a coupled 3D step through the blocked 3D kernel
     yield "blankenbach_pallas_urms", blankenbach_pallas
     yield "blob3d_pallas_zc", blob3d_pallas
+    # r05 fast path: 3D VEP through the hybrid edges kernel on-chip
+    yield "vep3d_hybrid_tauII", vep3d_hybrid
     if level == "full":
         yield "elastic_buildup_rel_err", elastic_buildup
 
@@ -375,7 +433,7 @@ DEFAULT_FAMILIES = (
     "ve2d,vep2d,vep2d_1024,thermal2d,thermal3d,ve3d,ve3d_canvas,vep3d,"
     "vep3d_canvas,"
     "pallas_ve2d,pallas_ve2d_blocked,pallas_ve3d_blocked,"
-    "pallas_vep3d_blocked,"
+    "pallas_vep3d_blocked,pallas_vep3d_edges,"
     "ve3d_254,ve3d_canvas_254,pallas_ve3d_blocked_254,"
     "pallas_vep2d,pallas_vep2d_blocked,pallas_thermal2d"
 )

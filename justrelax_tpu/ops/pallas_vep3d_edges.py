@@ -70,7 +70,7 @@ _N_LEAD = 6
 
 def choose_blocking_edges(nx, ny, nz, n_const, itemsize=4,
                           plane_block=None, budget=118 * 1024 * 1024,
-                          nvals=52, prefer_divisor=True):
+                          nvals=40, prefer_divisor=True):
     """Pick (R, nbx, X_pad, W) for the x-slab edges kernel (no temporal
     blocking, radius-2 halo). ``nvals`` models the per-plane live/spill
     footprint of the sequential edge-family passes. With
@@ -186,7 +186,7 @@ def vep3d_edges_blocked(
     dt, theta_dtau, lambda_relaxation,
     interpret: bool = False,
     plane_block: Optional[int] = None,
-    nvals: int = 52,
+    nvals: int = 40,
 ):
     """Run the three edge return-mapping passes in one Pallas x-slab sweep.
     All operands are (nx+2, ny+2, nz+2) canvases; ``co`` must be built

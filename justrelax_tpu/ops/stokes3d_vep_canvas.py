@@ -402,6 +402,7 @@ def iteration_vep3d_canvas(
     y_off=0,
     edges_pallas=False,
     edges_interpret=False,
+    edges_nvals=40,
 ):
     """One fused 3D VEP PT iteration on collocated canvases — semantics of
     solvers/stokes3d_vep.py::one_iteration (maxloc → θ update → ρ(T,P)·g →
@@ -494,7 +495,7 @@ def iteration_vep3d_canvas(
             c.V, theta, c.eta, c.tau_c, c.tau_e, c.lam_e, co, inv_di,
             dt=dt, theta_dtau=theta_dtau,
             lambda_relaxation=lambda_relaxation,
-            interpret=edges_interpret,
+            interpret=edges_interpret, nvals=edges_nvals,
         )
         res = res._replace(tau_e=tau_e_k, lam_e=lam_e_k)
     else:

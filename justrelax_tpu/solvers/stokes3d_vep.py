@@ -111,22 +111,38 @@ def solve_vep_3d(
     pallas_visc_m="auto",
 ) -> Tuple[StokesState, StokesSolveInfo]:
     """Thin static-option resolver over the jitted solver body (see
-    :func:`_solve_vep_3d`). ``use_pallas=True`` streams each chunk through
-    the collocated-canvas iteration (ops/stokes3d_vep_canvas.py);
-    ``pallas_visc_m`` is the collapsed power-law exponent for its viscosity
-    target — "auto" resolves it from a CONCRETE material via
-    ``shared_powerlaw_exponent`` (pass it explicitly when calling under an
-    outer jit with traced material leaves, mirroring solve_vep's 2D escape
-    hatch).
+    :func:`_solve_vep_3d`). ``pallas_visc_m`` is the collapsed power-law
+    exponent for the Pallas paths' viscosity target — "auto" resolves it
+    from a CONCRETE material via ``shared_powerlaw_exponent`` (pass it
+    explicitly when calling under an outer jit with traced material
+    leaves, mirroring solve_vep's 2D escape hatch).
 
-    Dispatch note (measured, v5e 126³ f32, docs/performance.md): the 3D VEP
-    body is COMPUTE-bound (stream_frac 0.15), so the canvas's padded
-    (n+2)³ lattice costs ~1.24× more FLOPs and measures 1.21× SLOWER than
-    this default mixed-shape XLA iteration (4 848 vs 4 014 µs/iter) —
-    unlike the memory-bound VE where the canvas wins. ``use_pallas=True``
-    is therefore an opt-in uniform-layout route (parity 1e-8,
-    tests/test_vep3d_canvas.py), not a fast path; the default stays XLA."""
-    if use_pallas == "blocked":
+    Dispatch (set by ON-CHIP paired A/B, v5e 126³ f32, r05,
+    docs/performance.md): ``use_pallas=True`` runs the HYBRID iteration —
+    the three edge return-mapping passes in the radius-2 Pallas x-slab
+    kernel (ops/pallas_vep3d_edges.py), center/θ/viscosity/velocity in
+    XLA on canvases — measured 3 044 µs/iter vs the mixed-shape XLA
+    default's 3 414 (paired, noise ±10 µs): a certified 12% win. Falls
+    back to "canvas" when the hybrid's phase-uniform-plasticity guard
+    fails. ``use_pallas="canvas"`` is the plain collocated-canvas chunk
+    (a measured LOSS vs XLA — uniform-layout route only);
+    ``use_pallas="blocked"`` the fully-fused grid-blocked kernel
+    (statistical tie with XLA at its best config)."""
+    if use_pallas is True:
+        from justrelax_tpu.ops.pallas_stokes3d_vep_blocked import (
+            vep3d_blocked_supported,
+        )
+        import numpy as _np
+
+        from justrelax_tpu.rheology.materials import _as_stack
+
+        Kb = _np.asarray(_as_stack(material).params.Kb)
+        if vep3d_blocked_supported(material) \
+                and bool(_np.all(Kb == Kb.ravel()[0])):
+            use_pallas = "edges"
+        else:
+            use_pallas = "canvas"
+    if use_pallas in ("blocked", "edges"):
         # grid-blocked Pallas streaming kernel
         # (ops/pallas_stokes3d_vep_blocked.py): scalar plastic params +
         # scalar K under the phase-uniform guard, τ_o re-derived in VMEM
@@ -427,12 +443,14 @@ def _solve_vep_3d(
         )
 
         blocked = use_pallas == "blocked"
+        edges = use_pallas == "edges"
+        scalar_consts = blocked or edges
         co_canvas = vep3d_canvas_consts(
             material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
             phase_ratios_center, phase_ratios_edges, T=T,
             visc_m=pallas_visc_m,
-            hoist_tau_o=not blocked, scalar_plastic=blocked,
-            scalar_K=blocked,
+            hoist_tau_o=not scalar_consts, scalar_plastic=scalar_consts,
+            scalar_K=scalar_consts,
         )
         if blocked:
             from justrelax_tpu.ops.pallas_stokes3d_vep_blocked import (
@@ -461,6 +479,16 @@ def _solve_vep_3d(
                     viscosity_relaxation=viscosity_relaxation,
                     viscosity_cutoff=viscosity_cutoff,
                     interpret=jax.default_backend() != "tpu",
+                )
+            elif edges:
+                out = vep3d_chunk_canvas(
+                    packed, co_canvas, material, inv_di, nout_i - 1,
+                    dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
+                    lambda_relaxation=lambda_relaxation,
+                    viscosity_relaxation=viscosity_relaxation,
+                    viscosity_cutoff=viscosity_cutoff,
+                    edges_pallas=True,
+                    edges_interpret=jax.default_backend() != "tpu",
                 )
             else:
                 out = vep3d_chunk_canvas(

@@ -1025,7 +1025,7 @@ def vep2d_1024(dtype=jnp.float32):
 
 def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False, edges=False,
                  plane_block=None, iters_per_pass=None, y_block=None,
-                 nvals=None):
+                 nvals=None, edges_nvals=40):
     """Collocated-canvas 3D VEP iteration (ops/stokes3d_vep_canvas.py) —
     same physics config and 71·N·4 B traffic convention as ``vep3d`` so the
     rows are directly comparable. The return-mapping body is the SAME
@@ -1137,7 +1137,7 @@ def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False, edges=False,
         def step(n_iter, carry, consts):
             return vep3d_chunk_canvas(
                 carry, consts, material, inv_di, n_iter,
-                edges_pallas=True, **kw,
+                edges_pallas=True, edges_nvals=edges_nvals, **kw,
             )
     else:
         def step(n_iter, carry, consts):

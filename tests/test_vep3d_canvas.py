@@ -268,6 +268,8 @@ def test_solve_vep_3d_use_pallas_matches_xla():
     args = (stokes, pt, geometry, bc, mat, pr.center,
             (pr.edge_yz, pr.edge_xz, pr.edge_xy), 0.25)
     kw = dict(iter_max=3000, iter_min=100, nout=100)
+    # use_pallas=True now auto-dispatches the r05 HYBRID (Pallas edge
+    # passes, interpret mode on CPU) under the phase-uniform guard
     out_c, info_c = solve_vep_3d(*args, use_pallas=True, **kw)
     out_x, info_x = solve_vep_3d(*args, **kw)
     assert float(info_c.err) < 1.0e-5 and float(info_x.err) < 1.0e-5
@@ -275,6 +277,11 @@ def test_solve_vep_3d_use_pallas_matches_xla():
     assert float(jnp.abs(out_c.tau.II - out_x.tau.II).max()) < 1e-8 * scale
     assert float(jnp.abs(out_c.P - out_x.P).max()) < 1e-8 * scale
     assert float(jnp.max(out_x.EII_pl)) > 0.0  # plasticity active
+
+    # the plain collocated-canvas chunk stays reachable as "canvas"
+    out_v, info_v = solve_vep_3d(*args, use_pallas="canvas", **kw)
+    assert float(info_v.err) < 1.0e-5
+    assert float(jnp.abs(out_v.tau.II - out_x.tau.II).max()) < 1e-8 * scale
 
     # use_pallas="blocked": the grid-blocked streaming kernel
     # (ops/pallas_stokes3d_vep_blocked.py, interpret mode on CPU) through
