@@ -315,12 +315,19 @@ def _golden_items(level):
         ur_p, nu_p, info_p, _, _ = m.run(nx=32, ny=32, nit=1,
                                          use_pallas=True)
         rel = abs(ur_p[-1] - ur_x[-1]) / abs(ur_x[-1])
-        # the oracle is path equivalence (measured on-chip: 9.8e-5); info.err
-        # is an ABSOLUTE residual (~2.7e-6 of the 4e4 Pa/m buoyancy scale at
+        # two oracles (VERDICT r04 weak #7): path equivalence (measured
+        # on-chip: 9.8e-5) AND the frozen CPU/f64 physics value of this
+        # exact configuration (0.29207194, r05) — the absolute check
+        # catches an error common to BOTH chip paths; info.err is an
+        # ABSOLUTE residual (~2.7e-6 of the 4e4 Pa/m buoyancy scale at
         # f32) so it is reported, not thresholded
-        ok = bool(rel < 1e-3 and np.isfinite(ur_p[-1]))
+        golden_f64 = 0.29207194481326537
+        rel_abs = abs(ur_p[-1] - golden_f64) / golden_f64
+        ok = bool(rel < 1e-3 and rel_abs < 2e-2 and np.isfinite(ur_p[-1]))
         return {"value": float(ur_p[-1]), "xla": float(ur_x[-1]),
-                "rel_gap": float(rel), "err": float(info_p.err), "pass": ok}
+                "rel_gap": float(rel), "golden_f64": golden_f64,
+                "rel_vs_f64": float(rel_abs),
+                "err": float(info_p.err), "pass": ok}
 
     def vep3d_hybrid():
         """3D VEP through the r05 fast path: solve_vep_3d(use_pallas=True)
@@ -374,9 +381,17 @@ def _golden_items(level):
         out_x, info_x = solve_vep_3d(*args, **kw)
         scale = float(_jnp.abs(out_x.tau.II).max())
         gap = float(_jnp.abs(out_h.tau.II - out_x.tau.II).max()) / scale
-        ok = bool(gap < 1e-3 and np.isfinite(scale) and scale > 0)
-        return {"value": float(_jnp.abs(out_h.tau.II).max()), "xla": scale,
-                "rel_gap": gap, "err": float(info_h.err), "pass": ok}
+        # absolute physics oracle: frozen CPU/f64 solve of this config
+        # (r05, scripts/make_f64_goldens.py → tauII max 0.16069083)
+        golden_f64 = 0.16069082924126105
+        v = float(_jnp.abs(out_h.tau.II).max())
+        rel_abs = abs(v - golden_f64) / golden_f64
+        ok = bool(gap < 1e-3 and rel_abs < 2e-2
+                  and np.isfinite(scale) and scale > 0)
+        return {"value": v, "xla": scale,
+                "rel_gap": gap, "golden_f64": golden_f64,
+                "rel_vs_f64": rel_abs,
+                "err": float(info_h.err), "pass": ok}
 
     def blob3d_pallas():
         """3D solve through solve_ve_3d(use_pallas=True) (VERDICT r03 #4):
@@ -387,9 +402,15 @@ def _golden_items(level):
         vref = float(np.abs(np.asarray(s_x.V.Vz)).max())
         dv = float(np.abs(np.asarray(s_p.V.Vz - s_x.V.Vz)).max())
         rel = dv / vref
-        ok = bool(rel < 1e-3 and np.isfinite(vref) and vref > 0)
+        # absolute physics oracles: frozen CPU/f64 values of this config
+        # (r05: zc 340668.63 m, |Vz|max 3.2058709e-9 m/s)
+        golden_v_f64 = 3.2058708898361283e-09
+        rel_v = abs(vref - golden_v_f64) / golden_v_f64
+        ok = bool(rel < 1e-3 and rel_v < 2e-2
+                  and np.isfinite(vref) and vref > 0)
         return {"value": float(zc_p[0]), "xla": float(zc_x[0]),
-                "v_rel_gap": rel, "err": float(i_p.err), "pass": ok}
+                "v_rel_gap": rel, "golden_v_f64": golden_v_f64,
+                "rel_vs_f64": rel_v, "err": float(i_p.err), "pass": ok}
 
     yield "solcx_err", solcx
     yield "diffusion2d_T_mid", diffusion2d

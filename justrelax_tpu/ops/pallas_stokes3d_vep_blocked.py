@@ -139,9 +139,11 @@ def _rebuild_vep_consts(get, names, sget, snames, pp: PlasticParams,
                         visc_m) -> VEP3DCanvasConsts:
     vals = {nm: get(i) for i, nm in enumerate(names)}
     vals.update({nm: sget(i) for i, nm in enumerate(snames)})
+    # .get: the edges kernel trims its const DMA to the fields the edge
+    # passes read (G_e + tau_o); center-pass fields are absent there
     params = VEPParams3D(
         ppc=pp,
-        G_c=vals["G_c"], K_c=vals["K_c"],
+        G_c=vals.get("G_c"), K_c=vals.get("K_c"),
         ppe=(pp, pp, pp),
         G_e=tuple(vals[f"G_e{i}"] for i in range(3)),
         K_e=tuple(vals[f"K_e{i}"] for i in range(3)),
@@ -151,7 +153,7 @@ def _rebuild_vep_consts(get, names, sget, snames, pp: PlasticParams,
         params=params,
         tau_o_c=tuple(vals[f"tau_o_c{i}"] for i in range(6)),
         tau_o_e=tuple(vals[f"tau_o_e{i}"] for i in range(3)),
-        P0=vals["P0"], Q=vals["Q"],
+        P0=vals.get("P0"), Q=vals.get("Q"),
         fzA=vals.get("fzA"), fzB=vals.get("fzB"),
         visc_eta=vals.get("visc_eta"),
         visc_A=vals.get("visc_A"), visc_B=vals.get("visc_B"),

@@ -259,12 +259,18 @@ def update_stresses_center_edges_3d(
     moves: StaggeredMoves | None = None,
     params: "VEPParams3D | None" = None,
     probe_passes=None,
+    edge_families=None,
 ) -> VEPStressResult3D:
     """``probe_passes`` is a PERF-BISECT hook (scripts/probe_vep3d.py):
     ``("center",)`` skips the three edge passes, ``("edges",)`` skips the
     center pass — each skipped pass degenerates to a passthrough with the
     same output shapes so the iteration frame (traffic) is unchanged while
-    its compute is removed. Physics callers leave it None."""
+    its compute is removed. Physics callers leave it None.
+
+    ``edge_families`` restricts the edge passes to a subset of family
+    indices (0=yz, 1=xz, 2=xy); unselected families pass through unchanged.
+    Used by the per-family Pallas split kernel (ops/pallas_vep3d_edges.py)
+    so each kernel instance carries only one family's live set."""
     ni = Pr.shape
     names = ("yz", "xz", "xy")
     if moves is None:
@@ -272,12 +278,19 @@ def update_stresses_center_edges_3d(
     other_to_edge = moves.other_to_edge
     do_edges = probe_passes is None or "edges" in probe_passes
     do_center = probe_passes is None or "center" in probe_passes
+    fam_sel = tuple(range(3)) if edge_families is None else \
+        tuple(edge_families)
 
     # ---------------- edge passes ------------------------------------------
     new_tau_e = []
     new_lam_e = []
     eps_pl_e = []
     for k, name in enumerate(names if do_edges else ()):
+        if k not in fam_sel:
+            new_tau_e.append(tau_e3[k])
+            new_lam_e.append(lam_e3[k])
+            eps_pl_e.append(jnp.zeros_like(tau_e3[k]))
+            continue
         a, b = _EDGE_AXES[name]
         Pv = moves.center_to_edge(Pr, a, b)
         eta_e = moves.harm_center_to_edge(eta, a, b)

@@ -402,7 +402,7 @@ def iteration_vep3d_canvas(
     y_off=0,
     edges_pallas=False,
     edges_interpret=False,
-    edges_nvals=40,
+    edges_nvals=None,
 ):
     """One fused 3D VEP PT iteration on collocated canvases — semantics of
     solvers/stokes3d_vep.py::one_iteration (maxloc → θ update → ρ(T,P)·g →
@@ -481,7 +481,10 @@ def iteration_vep3d_canvas(
     # driven through canvas-collocated moves and the precomputed
     # phase-blended parameter canvases (no (..., nphase) math in the loop)
     if edges_pallas:
-        from justrelax_tpu.ops.pallas_vep3d_edges import vep3d_edges_blocked
+        from justrelax_tpu.ops.pallas_vep3d_edges import (
+            vep3d_edges_blocked,
+            vep3d_edges_split,
+        )
 
         res = update_stresses_center_edges_3d(
             (exx, eyy, ezz), (eyz, exz, exy),
@@ -491,12 +494,22 @@ def iteration_vep3d_canvas(
             lambda_relaxation, dt, theta_dtau,
             moves=moves, params=co.params, probe_passes=("center",),
         )
-        tau_e_k, lam_e_k = vep3d_edges_blocked(
-            c.V, theta, c.eta, c.tau_c, c.tau_e, c.lam_e, co, inv_di,
-            dt=dt, theta_dtau=theta_dtau,
-            lambda_relaxation=lambda_relaxation,
-            interpret=edges_interpret, nvals=edges_nvals,
-        )
+        if edges_pallas == "split":
+            tau_e_k, lam_e_k = vep3d_edges_split(
+                c.V, theta, c.eta, c.tau_c, c.tau_e, c.lam_e, co, inv_di,
+                dt=dt, theta_dtau=theta_dtau,
+                lambda_relaxation=lambda_relaxation,
+                interpret=edges_interpret,
+                nvals=22 if edges_nvals is None else edges_nvals,
+            )
+        else:
+            tau_e_k, lam_e_k = vep3d_edges_blocked(
+                c.V, theta, c.eta, c.tau_c, c.tau_e, c.lam_e, co, inv_di,
+                dt=dt, theta_dtau=theta_dtau,
+                lambda_relaxation=lambda_relaxation,
+                interpret=edges_interpret,
+                nvals=40 if edges_nvals is None else edges_nvals,
+            )
         res = res._replace(tau_e=tau_e_k, lam_e=lam_e_k)
     else:
         res = update_stresses_center_edges_3d(

@@ -142,7 +142,7 @@ def solve_vep_3d(
             use_pallas = "edges"
         else:
             use_pallas = "canvas"
-    if use_pallas in ("blocked", "edges"):
+    if use_pallas in ("blocked", "edges", "edges_split"):
         # grid-blocked Pallas streaming kernel
         # (ops/pallas_stokes3d_vep_blocked.py): scalar plastic params +
         # scalar K under the phase-uniform guard, τ_o re-derived in VMEM
@@ -444,12 +444,14 @@ def _solve_vep_3d(
 
         blocked = use_pallas == "blocked"
         edges = use_pallas == "edges"
-        scalar_consts = blocked or edges
+        edges_split = use_pallas == "edges_split"
+        scalar_consts = blocked or edges or edges_split
         co_canvas = vep3d_canvas_consts(
             material, tau_o_c6, tau_o_e3, EII_pl, P0, Q,
             phase_ratios_center, phase_ratios_edges, T=T,
             visc_m=pallas_visc_m,
-            hoist_tau_o=not scalar_consts, scalar_plastic=scalar_consts,
+            hoist_tau_o=edges_split or not scalar_consts,
+            scalar_plastic=scalar_consts,
             scalar_K=scalar_consts,
         )
         if blocked:
@@ -480,14 +482,14 @@ def _solve_vep_3d(
                     viscosity_cutoff=viscosity_cutoff,
                     interpret=jax.default_backend() != "tpu",
                 )
-            elif edges:
+            elif edges or edges_split:
                 out = vep3d_chunk_canvas(
                     packed, co_canvas, material, inv_di, nout_i - 1,
                     dt=dt, r=r, theta_dtau=theta_dtau, etadtau=etadtau,
                     lambda_relaxation=lambda_relaxation,
                     viscosity_relaxation=viscosity_relaxation,
                     viscosity_cutoff=viscosity_cutoff,
-                    edges_pallas=True,
+                    edges_pallas="split" if edges_split else True,
                     edges_interpret=jax.default_backend() != "tpu",
                 )
             else:

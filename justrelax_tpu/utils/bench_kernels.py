@@ -1025,7 +1025,7 @@ def vep2d_1024(dtype=jnp.float32):
 
 def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False, edges=False,
                  plane_block=None, iters_per_pass=None, y_block=None,
-                 nvals=None, edges_nvals=40):
+                 nvals=None, edges_nvals=None):
     """Collocated-canvas 3D VEP iteration (ops/stokes3d_vep_canvas.py) —
     same physics config and 71·N·4 B traffic convention as ``vep3d`` so the
     rows are directly comparable. The return-mapping body is the SAME
@@ -1101,11 +1101,12 @@ def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False, edges=False,
         lam=embed_center(Z),
         lam_e=tuple(embed_edge(t, k) for k, t in enumerate((tyz, txz, txy))),
     )
-    scalar_consts = blocked or edges
+    scalar_consts = bool(blocked or edges)
     co = vep3d_canvas_consts(
         material, (txx_o, -txx_o, Z, Z, Z, Z), (tyz, txz, txy), Z, Z, Z,
         pr.center, (pr.edge_yz, pr.edge_xz, pr.edge_xy),
-        hoist_tau_o=not scalar_consts, scalar_plastic=scalar_consts,
+        hoist_tau_o=(edges == "split") or not scalar_consts,
+        scalar_plastic=scalar_consts,
         scalar_K=scalar_consts,
     )
     co = jax.tree.map(
@@ -1134,10 +1135,13 @@ def vep3d_canvas(n=126, dtype=jnp.float32, blocked=False, edges=False,
             )
     elif edges:
         # r05 hybrid: Pallas edge passes + XLA center/velocity
+        # (edges="split": one pallas_call per family, hoisted tau_o consts)
+        mode = "split" if edges == "split" else True
+
         def step(n_iter, carry, consts):
             return vep3d_chunk_canvas(
                 carry, consts, material, inv_di, n_iter,
-                edges_pallas=True, edges_nvals=edges_nvals, **kw,
+                edges_pallas=mode, edges_nvals=edges_nvals, **kw,
             )
     else:
         def step(n_iter, carry, consts):
@@ -1159,6 +1163,14 @@ def pallas_vep3d_edges(**kw):
     kernel (ops/pallas_vep3d_edges.py), center/theta/viscosity/velocity in
     XLA. Same 71-canvas traffic convention as vep3d so rows compare."""
     return vep3d_canvas(edges=True, **kw)
+
+
+def pallas_vep3d_split(**kw):
+    """Per-family split hybrid: THREE Pallas sweeps (one per edge family,
+    each with ~1/3 the live set of the sequential edges kernel and the
+    solve-frozen tau_o interpolants hoisted to const canvases), center/
+    theta/viscosity/velocity in XLA. Same 71-canvas traffic convention."""
+    return vep3d_canvas(edges="split", **kw)
 
 
 def ve3d_254(dtype=jnp.float32):
@@ -1197,6 +1209,7 @@ FAMILIES = {
     "pallas_ve2d": pallas_ve2d,
     "pallas_vep3d_blocked": pallas_vep3d_blocked,
     "pallas_vep3d_edges": pallas_vep3d_edges,
+    "pallas_vep3d_split": pallas_vep3d_split,
     "pallas_ve2d_blocked": pallas_ve2d_blocked,
     "pallas_ve3d_blocked": pallas_ve3d_blocked,
     "pallas_vep2d": pallas_vep2d,

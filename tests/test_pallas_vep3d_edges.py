@@ -43,3 +43,24 @@ def test_hybrid_edges_matches_canvas_chunk(plastic, nit):
                                    rtol=0, atol=_ATOL[plastic])
     if plastic and nit == 5:
         assert float(jnp.max(want.lam)) > 0.0  # plastic branch exercised
+
+
+@pytest.mark.parametrize("plastic", [False, True])
+@pytest.mark.parametrize("nit", [1, 5])
+def test_split_edges_matches_canvas_chunk(plastic, nit):
+    """Per-family split kernels (3 pallas_calls, hoisted tau_o consts) ==
+    the plain canvas chunk (same scalar-plastic collapse tolerance)."""
+    material, carry, ckw, inv_di, kw = _setup(plastic=plastic)
+    co_ref = vep3d_canvas_consts(**ckw)
+    want = vep3d_chunk_canvas(carry, co_ref, material, inv_di, nit, **kw)
+
+    co_spl = vep3d_canvas_consts(**ckw, scalar_plastic=True, scalar_K=True)
+    got = vep3d_chunk_canvas(
+        carry, co_spl, material, inv_di, nit,
+        edges_pallas="split", edges_interpret=True, **kw,
+    )
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=_ATOL[plastic])
+    if plastic and nit == 5:
+        assert float(jnp.max(want.lam)) > 0.0  # plastic branch exercised
