@@ -151,7 +151,7 @@ def _rebuild_vep_consts(get, names, sget, snames, pp: PlasticParams,
     )
     return VEP3DCanvasConsts(
         params=params,
-        tau_o_c=tuple(vals[f"tau_o_c{i}"] for i in range(6)),
+        tau_o_c=tuple(vals.get(f"tau_o_c{i}") for i in range(6)),
         tau_o_e=tuple(vals[f"tau_o_e{i}"] for i in range(3)),
         P0=vals.get("P0"), Q=vals.get("Q"),
         fzA=vals.get("fzA"), fzB=vals.get("fzB"),

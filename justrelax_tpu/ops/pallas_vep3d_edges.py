@@ -59,8 +59,10 @@ Array = Any
 __all__ = ["vep3d_edges_blocked", "vep3d_edges_split",
            "choose_blocking_edges"]
 
-# dynamic inputs: Vx Vy Vz theta eta tau_c(6) tau_e(3) lam_e(3)
-_N_IN = 17
+# dynamic inputs: Vx Vy Vz theta eta tau_c_normals(3) tau_e(3) lam_e(3)
+# (the edge passes read ONLY the 3 normal components of tau_c / tau_o_c —
+# stokes3d_vep.py:311,313 — so the shear slots are dead DMA and trimmed)
+_N_IN = 14
 # outputs: tau_e(3) lam_e(3)
 _N_OUT = 6
 _H = 2  # x-radius: V -> eps (1) -> other_to_edge interp (1)
@@ -197,9 +199,10 @@ def _edges_body(scal_ref, win, outs,
     )
     Vx, Vy, Vz = win(0), win(1), win(2)
     theta, eta = win(3), win(4)
-    tau_c6 = tuple(win(5 + jj) for jj in range(6))
-    tau_e3 = tuple(win(11 + jj) for jj in range(3))
-    lam_e3 = tuple(win(14 + jj) for jj in range(3))
+    tau_c3 = tuple(win(5 + jj) for jj in range(3))
+    tau_c6 = tau_c3 + tau_c3  # shear slots unread by the edge passes
+    tau_e3 = tuple(win(8 + jj) for jj in range(3))
+    lam_e3 = tuple(win(11 + jj) for jj in range(3))
 
     # strain rates from V (canvas twin of compute_strain_rate_3d, rolls)
     inv_dx, inv_dy, inv_dz = inv_di
@@ -266,7 +269,7 @@ def vep3d_edges_blocked(
     const_arrays, names, extra_scalars, snames, pp_scalars = (
         _flatten_vep_consts(co))
     keep = ({f"G_e{i}" for i in range(3)}
-            | {f"tau_o_c{i}" for i in range(6)}
+            | {f"tau_o_c{i}" for i in range(3)}  # normals only (line 313)
             | {f"tau_o_e{i}" for i in range(3)})
     trimmed = [(a, nm) for a, nm in zip(const_arrays, names) if nm in keep]
     const_arrays = [a for a, _ in trimmed]
@@ -290,7 +293,7 @@ def vep3d_edges_blocked(
             return A  # zero-copy fast path (the 126³ bench shape)
         return jnp.pad(A, ((0, X_pad - X), (0, y_pad - Y), (0, z_pad - Z)))
 
-    dyn = [pad3(a) for a in (*V, theta, eta, *tau_c6, *tau_e3, *lam_e3)]
+    dyn = [pad3(a) for a in (*V, theta, eta, *tau_c6[:3], *tau_e3, *lam_e3)]
     consts = [pad3(a.astype(dtype)) for a in const_arrays]
     scal = jnp.stack([
         jnp.asarray(v, dtype) for v in (
